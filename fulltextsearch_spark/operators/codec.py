@@ -1,0 +1,131 @@
+"""Delta + varint posting-block codec (numpy-vectorized).
+
+Plays the role of the reference's primary `VarIntCompressed` codec
+(Persistent/PostingListVarIntDeltaWriter.cs:8-33 — LEB128 varint deltas
+in fixed self-contained blocks, each block independently decodable and
+binary-searchable). Our layout is columnar instead of interleaved
+per-occurrence cases, because numpy encodes/decodes whole columns at
+once; the *capability* (block-granular skip via (first_doc, last_doc)
+metadata, SURVEY.md §4.2) is the same.
+
+Block payload layout (all LEB128 varints):
+
+    varint(n)                          number of occurrences
+    varint[n]  doc deltas              ddoc[0] = doc[0] (full value)
+    varint[n]  field values/deltas     full at doc boundary, else delta
+    varint[n]  pos values/deltas       full at (doc,field) boundary, else delta
+
+Occurrences are (doc, field, pos) int64, strictly increasing in
+lexicographic order — the reference's total occurrence order
+(IndexModels/Occurrence.cs:80-95).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    a = values.astype(np.uint64, copy=True)
+    n = len(a)
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, dtype=np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nbytes += v > 0
+        v >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(_MAX_VARINT_BYTES):
+        mask = nbytes > k
+        if not mask.any():
+            break
+        byte = (a[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
+        out[starts[mask] + k] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode a LEB128 byte stream → uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    # start of each varint = positions right after an end (plus position 0)
+    starts = np.nonzero(np.concatenate(([True], is_end[:-1])))[0]
+    pos_in = np.arange(len(b)) - np.repeat(starts, np.diff(np.append(starts, len(b))))
+    parts = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos_in.astype(np.uint64))
+    vals = np.add.reduceat(parts, starts)
+    if count is not None:
+        vals = vals[:count]
+    return vals
+
+
+def _grouped_cumsum(deltas: np.ndarray, reset: np.ndarray) -> np.ndarray:
+    """Cumulative sum of ``deltas`` that restarts where ``reset`` is True.
+
+    reset[0] must be True and deltas[i] holds the full value at resets.
+    """
+    total = np.cumsum(deltas)
+    seg_starts = np.nonzero(reset)[0]
+    carry = total[seg_starts] - deltas[seg_starts]
+    seg_id = np.cumsum(reset) - 1
+    return total - carry[seg_id]
+
+
+def encode_block(docs: np.ndarray, fields: np.ndarray, pos: np.ndarray) -> bytes:
+    """Encode one block of lexicographically-sorted occurrences."""
+    n = len(docs)
+    docs = docs.astype(np.int64)
+    fields = fields.astype(np.int64)
+    pos = pos.astype(np.int64)
+    ddoc = np.diff(docs, prepend=np.int64(0))
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = ddoc[1:] > 0
+    dfield = np.where(new_doc, fields, fields - np.concatenate(([0], fields[:-1])))
+    new_df = new_doc | (dfield > 0)
+    dpos = np.where(new_df, pos, pos - np.concatenate(([0], pos[:-1])))
+    header = varint_encode(np.array([n], dtype=np.uint64))
+    return (
+        header
+        + varint_encode(ddoc.astype(np.uint64))
+        + varint_encode(dfield.astype(np.uint64))
+        + varint_encode(dpos.astype(np.uint64))
+    )
+
+
+def decode_block(payload: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a block → (docs, fields, pos) int64 arrays."""
+    all_vals = varint_decode(payload)
+    n = int(all_vals[0])
+    body = all_vals[1 : 1 + 3 * n].astype(np.int64)
+    ddoc, dfield, dpos = body[:n], body[n : 2 * n], body[2 * n :]
+    docs = np.cumsum(ddoc)
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = ddoc[1:] > 0
+    fields = _grouped_cumsum(dfield, new_doc)
+    new_df = new_doc | (np.where(new_doc, False, dfield > 0))
+    pos = _grouped_cumsum(dpos, new_df)
+    return docs, fields, pos
+
+
+def decode_block_lower_bound(
+    payload: bytes, target_doc: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode then seek: first occurrence with doc >= target.
+
+    The block-level skip (don't decode at all) happens upstream via the
+    (first_doc, last_doc) columns — reference's ISkipList.LowerBound
+    analog (SURVEY.md §2.D13).
+    """
+    docs, fields, pos = decode_block(payload)
+    i = int(np.searchsorted(docs, target_doc, side="left"))
+    return docs[i:], fields[i:], pos[i:]

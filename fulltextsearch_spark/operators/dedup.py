@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+These extend the engine beyond the reference's feature set (a training
+-data pipeline necessity at 100 TB): exact dup groups, MinHash+LSH
+near-dup, SimHash, and n-gram Jaccard. All hashing is deterministic and
+derived from md5 so the DuckDB oracles can reproduce it bit-for-bit.
+
+Scale shape:
+- exact: one shuffle on the 128-bit content hash.
+- minhash LSH: narrow shingle→signature (pandas UDF / built-ins),
+  explode to (band, band_hash) keys, shuffle once on band buckets —
+  candidate pairs only within buckets (no all-pairs join).
+- ngram jaccard: shingle explode + self-equi-join on shingle; hot
+  shingles are the skew risk — AQE skew-join handles moderate skew, and
+  `max_shingle_df` drops degenerate shingles (stopword runs) the way
+  production near-dup pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 15 hex chars of md5 → 60-bit int; reduced mod _HPRIME to keep the
+# minhash affine transform inside int64 (DuckDB-reproducible).
+_HPRIME = 1073741789  # < 2^30
+_MOD = 2147483647  # 2^31 - 1 (fingerprint modulus)
+
+
+def content_hash(col) -> F.Column:
+    return F.md5(col)
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_md5, canonical doc,
+    n_dups). One hash-shuffle; map-side combine applies."""
+    return (
+        docs.select(F.col("doc_id"), content_hash(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(tokens_col, n: int = 3):
+    """n-word shingles from a token array column (distinct)."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(tokens_col) - n),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
+    )
+    return F.array_distinct(joined)
+
+
+def shingle_hash60(col) -> F.Column:
+    """Deterministic 60-bit shingle hash (md5-based, oracle-reproducible)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def doc_shingles(docs: DataFrame, tokens_col: str = "tokens", n: int = 3) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col(tokens_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs_tokens: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Doc pairs with n-gram-shingle Jaccard ≥ threshold.
+
+    Input: (doc_id, tokens array<string>). Self-equi-join on shingle →
+    pair intersection counts; union sizes from per-doc shingle counts.
+    """
+    sh = doc_shingles(docs_tokens, "tokens", n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # drop degenerate ultra-common shingles (skew guard)
+    sh_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    sh = sh.join(
+        F.broadcast(sh_df.where(F.col("sdf") > max_shingle_df)),
+        "shingle",
+        "left_anti",
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "sh_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "sh_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def _minhash_params(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine (a, b) pairs — odd a, fixed seed sequence."""
+    params = []
+    a, b = 0x9E3779B1, 0x85EBCA77
+    for i in range(n_perm):
+        params.append(((2 * i + 1) * 2654435761 % _HPRIME, (a + i * b) % _HPRIME))
+    return params
+
+
+def minhash_signatures(
+    docs_tokens: DataFrame, n: int = 3, n_perm: int = 32
+) -> DataFrame:
+    """(doc_id, sig array<long>[n_perm]) MinHash over n-word shingles.
+
+    h60 reduced mod 2^30-ish prime; sig_j = min((a_j*h + b_j) mod prime).
+    Pure built-ins (JVM-side): transform over a literal param array.
+    """
+    params = _minhash_params(n_perm)
+    sh = doc_shingles(docs_tokens, "tokens", n).withColumn(
+        "h", shingle_hash60(F.col("shingle")) % _HPRIME
+    )
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_HPRIME)).alias(f"m{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"m{j}" for j in range(n_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures, bucket-join: pairs sharing ≥1 full band.
+
+    The classic MinHash-LSH shuffle shape: explode to n_bands rows,
+    group by (band, band_signature) — never an all-pairs comparison.
+    """
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(docs_tokens: DataFrame) -> DataFrame:
+    """64-bit SimHash over tokens (tf-weighted bit votes).
+
+    Built-ins only: per-token 64-bit hash (xxhash64), explode, for each
+    bit position sum +tf/-tf, sign → bit. The 64 bit-sums are one
+    aggregation (no per-row Python).
+    """
+    tok = docs_tokens.select("doc_id", F.explode("tokens").alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        contrib = F.shiftleft(bit, b)
+        sig = contrib if sig is None else sig.bitwiseXOR(contrib)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded on 16-bit
+    chunks (a pair within distance 3 shares ≥1 of 4 exact chunks)."""
+    chunks = simhashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ).where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")

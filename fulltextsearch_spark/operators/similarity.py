@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, plus an
+LSH-bucketed (random hyperplane / sign-LSH) variant as the scale path:
+at 10^12 vectors the brute-force cross join is infeasible; sign-LSH
+buckets candidates so each query compares against a small candidate
+set, trading recall for a bounded join size.
+
+All dot products stay JVM-side (`F.zip_with` + `F.aggregate`) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the (small) query set,
+    one pass over the vector table, per-query top-k via window rank.
+
+    Output: (q_id, vec_id, cos, rank) — ties broken by vec_id asc.
+    """
+    q = queries.select(
+        F.col(q_id_col), F.col(vec_col).alias("_qv")
+    )
+    joined = vectors.join(F.broadcast(q), F.col(id_col) != F.col(q_id_col))
+    scored = joined.select(
+        q_id_col,
+        id_col,
+        (
+            _dot(F.col(vec_col), F.col("_qv"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qv")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python, tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_planes, dim))
+    h /= np.linalg.norm(h, axis=1, keepdims=True)
+    return h.tolist()
+
+
+def sign_lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-LSH bucket id: bit b = 1 iff dot(vec, plane_b) > 0."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseXOR(
+            F.shiftleft(F.when(dot > 0, F.lit(1).cast("long")).otherwise(0), b)
+        )
+    return bucket
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+
+    The scale path — candidate set per query ≈ N / 2^n_planes. Recall
+    is tunable via n_planes (fewer planes = bigger buckets = higher
+    recall); multi-probe extensions slot in here later.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    v = vectors.withColumn("_bucket", sign_lsh_bucket(F.col(vec_col), planes))
+    q = queries.select(q_id_col, F.col(vec_col).alias("_qv")).withColumn(
+        "_bucket", sign_lsh_bucket(F.col("_qv"), planes)
+    )
+    joined = v.join(F.broadcast(q), "_bucket").where(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    scored = joined.select(
+        q_id_col,
+        id_col,
+        (
+            _dot(F.col(vec_col), F.col("_qv"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qv")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cos", "rank")
+    )

@@ -1,0 +1,204 @@
+"""Query planner: AST → DataFrame plan.
+
+Replaces the reference's Volcano-style pull-iterator operator tree
+(FullTextQueryCompiler.cs:19-126, SURVEY.md §2.D, §3.2) with a
+declarative DataFrame per AST node. Semantics reproduced:
+
+- WORD/WILD/EDIT expand to a term set via the dictionary/postings
+  filter (D3-D5); zero expansions == NullQuery == empty DataFrame (D12).
+- OR is a duplicate-preserving union (OrQuery/OrMultiQuery merge keeps
+  duplicates — OrMultiQueryTest.cs:29-36, SURVEY.md §2.D8/D9). Distinct
+  sub-queries over distinct terms cannot collide, but duplicated
+  sub-queries do and must stay duplicated — `unionAll` does exactly that.
+- SEQ is exact positional adjacency: matches[i-1].pos + 1 == matches[i].pos
+  (PhraseQuery.cs:62), args must be WORD terms (FullTextQueryCompiler.cs:103-110).
+- AND is Boolean conjunction per the README spec (README.md:87-91; the
+  reference parses but cannot execute it — SURVEY.md §0.2): documents
+  containing all operands; emitted matches are every operand's matches
+  within qualifying documents.
+
+Result schema (the reference's IMatch stream, SURVEY.md §1.1):
+    (doc_id long, field_id int, positions array<int>)
+positions has length 1 for term matches, k for k-term phrases.
+
+Scale shape: term expansion is a broadcast-sized dictionary filter;
+posting scans prune by term-hash bucket (partition pruning) + pushed
+term predicates; AND is a semi-join on doc_id; SEQ joins co-keyed
+posting rows on (doc_id, field_id) — per-doc position arrays, 1 shuffle
+per phrase leg, no exploded-occurrence shuffle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark.plans import parser
+from fulltextsearch_spark.plans.ast import (
+    AstQuery,
+    EditAst,
+    FuncAst,
+    WildAst,
+    WordAst,
+)
+
+MATCH_SCHEMA = "doc_id long, field_id int, positions array<int>"
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """Reference wildcard (`*` any run, `?` one char; anchored) → SQL LIKE.
+
+    Reference automaton: Automata/Wildcard/AutomatonWildcard.cs:25-51.
+    LIKE is anchored full-string, so semantics coincide after escaping.
+    """
+    out = []
+    for c in pattern:
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in ("%", "_", "\\"):
+            out.append("\\" + c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def term_predicate(node: AstQuery) -> Column:
+    """Dictionary/posting filter for a terminal pattern (D3-D5)."""
+    t = F.col("term")
+    if isinstance(node, WordAst):
+        return t == F.lit(node.value)
+    if isinstance(node, WildAst):
+        return t.like(wildcard_to_like(node.value))
+    if isinstance(node, EditAst):
+        # Levenshtein automaton == unit-cost edit distance (D5);
+        # length band is a cheap prune that cannot change the result.
+        w, d = node.value, node.distance
+        return (F.abs(F.length(t) - F.lit(len(w))) <= F.lit(d)) & (
+            F.levenshtein(t, F.lit(w)) <= F.lit(d)
+        )
+    raise TypeError(f"not a terminal: {node!r}")
+
+
+def expanded_postings(index, node: AstQuery) -> DataFrame:
+    """Posting rows for a terminal node — bucket-pruned for exact terms."""
+    if isinstance(node, WordAst):
+        return index.postings(exact_terms=[node.value])
+    return index.postings(term_pred=term_predicate(node))
+
+
+def _occurrences(index, node: AstQuery) -> DataFrame:
+    """Terminal → match stream: one row per occurrence (TermQuery, D7)."""
+    p = expanded_postings(index, node)
+    return p.select(
+        "doc_id",
+        "field_id",
+        F.explode("positions").alias("pos"),
+    ).select("doc_id", "field_id", F.array("pos").alias("positions"))
+
+
+def _phrase(index, terms: list[str]) -> DataFrame:
+    """SEQ: k-leg adjacency via per-doc position arrays (D10).
+
+    Join the k posting rows on (doc_id, field_id), then filter the
+    first leg's positions so p, p+1, ..., p+k-1 all exist — the
+    leapfrog adjacency check vectorized over arrays (no occurrence
+    explosion before the join; arrays stay JVM-side).
+    """
+    legs = []
+    for i, term in enumerate(terms):
+        legs.append(
+            expanded_postings(index, WordAst(term, term)).select(
+                "doc_id", "field_id", F.col("positions").alias(f"p{i}")
+            )
+        )
+    joined = legs[0]
+    for i in range(1, len(legs)):
+        joined = joined.join(legs[i], ["doc_id", "field_id"])
+    def adjacent(i: int):
+        # single-arg lambda: pyspark HOFs pass (elem, idx) to 2-arg ones
+        return lambda p: F.array_contains(F.col(f"p{i}"), p + i)
+
+    starts = F.col("p0")
+    for i in range(1, len(terms)):
+        starts = F.filter(starts, adjacent(i))
+    k = len(terms)
+    return (
+        joined.select("doc_id", "field_id", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            "field_id",
+            F.sequence(F.col("start"), F.col("start") + F.lit(k - 1)).alias(
+                "positions"
+            ),
+        )
+    )
+
+
+def plan_node(index, node: AstQuery) -> DataFrame:
+    if isinstance(node, (WordAst, WildAst, EditAst)):
+        return _occurrences(index, node)
+    if isinstance(node, FuncAst):
+        if node.name == "SEQ":
+            terms = []
+            for a in node.args:
+                if not isinstance(a, WordAst):
+                    # reference: phrase args must be WORDs
+                    # (FullTextQueryCompiler.cs:103-110)
+                    raise ValueError("SEQ arguments must be WORD terms")
+                terms.append(a.value)
+            if not terms:
+                return _empty(index)
+            if len(terms) == 1:
+                return _occurrences(index, node.args[0])
+            return _phrase(index, terms)
+        children = [plan_node(index, a) for a in node.args]
+        if not children:
+            return _empty(index)
+        if node.name == "OR":
+            return reduce(DataFrame.unionAll, children)
+        if node.name == "AND":
+            doc_sets = [c.select("doc_id").distinct() for c in children]
+            qualifying = reduce(lambda a, b: a.join(b, "doc_id"), doc_sets)
+            matches = reduce(DataFrame.unionAll, children)
+            return matches.join(qualifying, "doc_id", "left_semi")
+        raise ValueError(f"unknown operator {node.name}")
+    raise TypeError(f"unknown AST node {node!r}")
+
+
+def _empty(index) -> DataFrame:
+    return index.spark.createDataFrame([], MATCH_SCHEMA)
+
+
+def plan_query(index, query: str) -> DataFrame:
+    """Parse + plan. Result ordered by occurrence order (doc, field,
+    positions) — the reference's output order (MatchComparer.cs:7-41)."""
+    ast = parser.parse(query)
+    return plan_node(index, ast).orderBy("doc_id", "field_id", "positions")
+
+
+def plan_lookup(index, pattern: str) -> DataFrame:
+    """Dictionary-only pattern lookup (`lookup` verb, SURVEY.md §3.3)."""
+    ast = parser.parse(pattern)
+    if not isinstance(ast, (WordAst, WildAst, EditAst)):
+        raise ValueError("lookup expects a terminal pattern")
+    return (
+        index.dictionary().where(term_predicate(ast)).select("term").orderBy("term")
+    )
+
+
+def matches_to_string(df: DataFrame) -> str:
+    """Render a match stream the way the reference's golden tests do
+    (ExecuteToString, SearchQueryExtensions.cs:17-20):
+    `{[d,f,p]}, {[d,f,p1], [d,f,p2]}, ...`"""
+    rows = df.collect()
+    parts = []
+    for r in rows:
+        occs = ", ".join(
+            f"[{r['doc_id']},{r['field_id']},{p}]" for p in r["positions"]
+        )
+        parts.append("{" + occs + "}")
+    return ", ".join(parts)

@@ -1,0 +1,62 @@
+"""Deterministic dense doc-id assignment.
+
+The reference allocates dense sequential ulong ids starting at 1 in
+insertion order (FullTextIndexBuilder.cs:25-26,35). A distributed
+engine needs ids that are dense, deterministic, and reproducible across
+cluster sizes (rank-identity ties break on doc_id ⇒ transitively on
+url). `monotonically_increasing_id` is neither dense nor stable, so:
+
+1. range-repartition + sort within partitions by the (unique) order
+   column — a global sort order;
+2. persist, count rows per physical partition (one cheap job);
+3. id = partition offset + row_number within the partition.
+
+Step 3's window partitions by `spark_partition_id`, so the sort inside
+each window is partition-local — no second global shuffle. At 10^12
+rows the only global data movement is the one range shuffle that a
+global sort needs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_col: str = "url",
+    id_col: str = "doc_id",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense id column ordered by ``order_col`` (must be unique).
+
+    Returns a *persisted* DataFrame — the caller should unpersist after
+    materializing downstream outputs.
+    """
+    if num_partitions:
+        ordered = df.repartitionByRange(num_partitions, order_col)
+    else:
+        ordered = df.repartitionByRange(order_col)
+    ordered = (
+        ordered.sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("_pid")]
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return ordered.withColumn(
+        id_col, (offset_col + F.row_number().over(w) - F.lit(1)).cast("long")
+    ).drop("_pid")

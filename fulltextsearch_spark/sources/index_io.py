@@ -1,0 +1,285 @@
+"""Index persistence: parquet segment tables + a JSON manifest.
+
+Replaces the reference's 6-file folder layout (PersistentIndex.cs:10-16
+— header/dictionary/postings/fields/textpos/posindex; SURVEY.md §1.4)
+with an index root directory:
+
+    <root>/manifest.json          atomic commit point (write-tmp + rename)
+    <root>/seg_NNNNN/postings/    (term, doc_id, field_id, positions, tf)
+    <root>/seg_NNNNN/blocks/      compressed block rows (mode="blocks")
+    <root>/seg_NNNNN/dictionary/  (term, df, cf)
+    <root>/seg_NNNNN/doc_stats/   (doc_id, dl)
+    <root>/seg_NNNNN/docs/        (doc_id, url, warc_ts, lang, text)
+    <root>/seg_NNNNN/doc_positions/ (doc_id, field_id, positions)
+
+Segments are the analog of the reference's posting-list continuation
+chains for incremental indexing (PersistentBuilder.cs:69-80, SURVEY.md
+§2.C9): each build session appends a segment; query-side the engine
+unions segment tables; a compaction job can merge them. The manifest
+records per-segment lineage + metrics and is the resume anchor
+(north_rule): a killed build leaves no manifest entry, so a rerun
+redoes only the uncommitted segment.
+
+Postings/blocks are hash-bucketed by term (``bucket`` partition column)
+so exact-term queries prune to one directory per segment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark import MAX_TOKEN_SIZE
+from fulltextsearch_spark.operators import build as B
+from fulltextsearch_spark.sources.ids import assign_dense_ids
+
+MANIFEST = "manifest.json"
+DEFAULT_BUCKETS = 8
+
+
+def term_bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _read_manifest(root: str) -> dict | None:
+    p = os.path.join(root, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(root: str, manifest: dict) -> None:
+    tmp = os.path.join(root, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(root, MANIFEST))  # atomic commit
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    root: str,
+    mode: str = "arrays",
+    n_buckets: int = DEFAULT_BUCKETS,
+    input_desc: str = "<inline>",
+    keep_text: bool = True,
+) -> dict:
+    """Append one index segment built from ``pages``; returns the manifest.
+
+    Re-runnable: if a previous run died mid-segment, the orphan segment
+    directory is simply overwritten (it was never committed to the
+    manifest). This is the resumable-DAG commit protocol (north_rule).
+    """
+    t0 = time.time()
+    os.makedirs(root, exist_ok=True)
+    manifest = _read_manifest(root) or {
+        "version": 1,
+        "type": {
+            "engine": "fulltextsearch_spark",
+            "mode": mode,
+            "n_buckets": n_buckets,
+        },
+        "tokenizer": {"max_token_size": MAX_TOKEN_SIZE},
+        "next_doc_id": 1,
+        "segments": [],
+    }
+    if manifest["type"]["mode"] != mode:
+        raise ValueError(
+            f"index at {root} was built with mode={manifest['type']['mode']!r}"
+        )
+    seg_id = 1 + max((s["id"] for s in manifest["segments"]), default=0)
+    seg_name = f"seg_{seg_id:05d}"
+    seg_path = os.path.join(root, seg_name)
+    start_id = manifest["next_doc_id"]
+
+    with_ids = assign_dense_ids(pages, "url", "doc_id", start=start_id)
+    tokens = B.tokenize_pages(with_ids)
+    postings = B.build_postings(tokens).withColumn(
+        "bucket", term_bucket(F.col("term"), n_buckets)
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(seg_path, "postings")
+    )
+    postings_committed = spark.read.parquet(os.path.join(seg_path, "postings"))
+    if mode == "blocks":
+        blocks = B.build_blocks(postings_committed.drop("bucket")).withColumn(
+            "bucket", term_bucket(F.col("term"), n_buckets)
+        )
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(seg_path, "blocks")
+        )
+    dictionary = B.build_dictionary(postings_committed)
+    dictionary.write.mode("overwrite").parquet(os.path.join(seg_path, "dictionary"))
+    B.build_doc_stats(tokens).write.mode("overwrite").parquet(
+        os.path.join(seg_path, "doc_stats")
+    )
+    B.build_doc_positions(tokens).write.mode("overwrite").parquet(
+        os.path.join(seg_path, "doc_positions")
+    )
+    docs_cols = ["doc_id", "url", "warc_ts", "lang"] + (["text"] if keep_text else [])
+    with_ids.select(*docs_cols).write.mode("overwrite").parquet(
+        os.path.join(seg_path, "docs")
+    )
+
+    part_rows = [
+        {"pid": r["_p"], "rows": r["n"]}
+        for r in with_ids.groupBy(F.spark_partition_id().alias("_p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    n_docs = sum(p["rows"] for p in part_rows)
+    stats = dictionary.agg(
+        F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
+    ).collect()[0]
+    with_ids.unpersist()
+
+    manifest["segments"].append(
+        {
+            "id": seg_id,
+            "path": seg_name,
+            "n_docs": n_docs,
+            "doc_id_range": [start_id, start_id + n_docs - 1],
+            "lineage": {
+                "input": input_desc,
+                "order_col": "url",
+                "row_count": n_docs,
+                "partitions": sorted(part_rows, key=lambda p: p["pid"]),
+            },
+            "metrics": {
+                "n_terms": stats["n_terms"],
+                "n_postings": int(stats["n_postings"] or 0),
+                "build_sec": round(time.time() - t0, 3),
+            },
+            "committed": True,
+        }
+    )
+    manifest["next_doc_id"] = start_id + n_docs
+    _write_manifest(root, manifest)
+    return manifest
+
+
+@dataclass
+class Index:
+    """Query handle over a committed index root (analog of
+    PersistentIndex open/verify, PersistentIndex.cs:19-72)."""
+
+    spark: SparkSession
+    root: str
+    manifest: dict = field(repr=False, default=None)
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "Index":
+        manifest = _read_manifest(root)
+        if manifest is None:
+            raise FileNotFoundError(f"no manifest at {root}")
+        if manifest.get("version") != 1:
+            raise ValueError(f"unsupported index version {manifest.get('version')}")
+        return cls(spark, root, manifest)
+
+    # --- table access -------------------------------------------------
+    def _seg_paths(self, table: str) -> list[str]:
+        return [
+            os.path.join(self.root, s["path"], table)
+            for s in self.manifest["segments"]
+            if s["committed"]
+        ]
+
+    def _union(self, table: str) -> DataFrame:
+        dfs = [self.spark.read.parquet(p) for p in self._seg_paths(table)]
+        return reduce(DataFrame.unionByName, dfs)
+
+    @property
+    def mode(self) -> str:
+        return self.manifest["type"]["mode"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest["type"]["n_buckets"]
+
+    def dictionary(self) -> DataFrame:
+        """Merged term dictionary across segments (term, df, cf)."""
+        return (
+            self._union("dictionary")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+
+    def doc_stats(self) -> DataFrame:
+        return self._union("doc_stats")
+
+    def docs(self) -> DataFrame:
+        return self._union("docs")
+
+    def doc_positions(self) -> DataFrame:
+        return self._union("doc_positions")
+
+    def collection_stats(self) -> tuple[int, float]:
+        r = self.doc_stats().agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        return int(r["n"]), float(r["avgdl"] or 0.0)
+
+    def postings(self, term_pred=None, exact_terms: list[str] | None = None) -> DataFrame:
+        """Posting rows, optionally filtered.
+
+        ``term_pred``: Column predicate over `term` (like / levenshtein /
+        equality). ``exact_terms``: when the term set is known exactly,
+        adds a bucket filter so parquet partition pruning skips all
+        other bucket directories (the dictionary-point-lookup analog).
+        """
+        table = "blocks" if self.mode == "blocks" else "postings"
+        df = self._union(table)
+        if exact_terms is not None:
+            df = df.where(F.col("bucket").isin(self._buckets_of(exact_terms)))
+            df = df.where(F.col("term").isin(exact_terms))
+        elif term_pred is not None:
+            df = df.where(term_pred)
+        if self.mode == "blocks":
+            df = B.decode_blocks(df.select("term", "payload"))
+        return df.select("term", "doc_id", "field_id", "positions", "tf")
+
+    def blocks(self, exact_terms: list[str] | None = None) -> DataFrame:
+        """Raw block rows (blocks mode) for block-max pruning paths."""
+        if self.mode != "blocks":
+            raise ValueError("index not in blocks mode")
+        df = self._union("blocks")
+        if exact_terms is not None:
+            df = df.where(F.col("bucket").isin(self._buckets_of(exact_terms))).where(
+                F.col("term").isin(exact_terms)
+            )
+        return df
+
+    def _buckets_of(self, terms: list[str]) -> list[int]:
+        """Bucket ids for exact terms — one tiny local job for the lot."""
+        if not terms:
+            return []
+        rows = (
+            self.spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(term_bucket(F.col("term"), self.n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["b"]) for r in rows)
+
+    # --- query API (delegates) ----------------------------------------
+    def search(self, query: str) -> DataFrame:
+        from fulltextsearch_spark.plans.planner import plan_query
+
+        return plan_query(self, query)
+
+    def lookup(self, pattern: str) -> DataFrame:
+        from fulltextsearch_spark.plans.planner import plan_lookup
+
+        return plan_lookup(self, pattern)
+
+    def rank(self, query: str, k: int = 10) -> DataFrame:
+        from fulltextsearch_spark.operators.bm25 import rank_query
+
+        return rank_query(self, query, k)
