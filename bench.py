@@ -1,0 +1,116 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Measures the two headline numbers from BASELINE.md on the sf dir's
+corpus, scaled up with the deterministic synthetic webtext generator:
+
+- index-build throughput (docs/sec): pages → committed blocks-mode
+  segment (tokenize, postings shuffle, codec, dictionary, stats, docs).
+- query latency: the reference-derived query mix (WORD/OR/AND/SEQ/
+  WILD/EDIT) + BM25 top-10, each end-to-end (plan → collect).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  FTS_BENCH_DOCS       (default 50000 synthetic docs + the sf documents)
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {...per-phase sec...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("FTS_BENCH_DOCS", "50000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.session import get_spark
+    from fulltextsearch_spark.sources.index_io import Index, build_index
+    from fulltextsearch_spark.sources.pages import synth_pages
+
+    spark = get_spark("fts-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="fts_bench_idx_")
+    try:
+        pages = synth_pages(spark, n_docs)
+
+        t0 = time.time()
+        build_index(
+            spark, pages, root, mode="blocks", input_desc=f"synth n={n_docs}"
+        )
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 3)
+
+        idx = Index.open(spark, root)
+        query_mix = {
+            "q_word_hot": "WORD(t0)",          # stopword-grade df
+            "q_word_mid": "WORD(t500)",
+            "q_word_rare": "WORD(zmarkerz)",
+            "q_or": "OR(WORD(t3),WORD(t11),WORD(t250))",
+            "q_and": "AND(WORD(t1),WORD(t2))",
+            "q_seq": "SEQ(WORD(t0),WORD(t1))",
+            "q_wild": "WILD(t10?)",
+            "q_edit": "EDIT(t1000,1)",
+        }
+        for name, q in query_mix.items():
+            t0 = time.time()
+            n = idx.search(q).count()
+            timings[name] = round(time.time() - t0, 3)
+        for name, q in {
+            "q_bm25_word": "WORD(t42)",
+            "q_bm25_or": "OR(WORD(t3),WORD(t11),WORD(t250))",
+            "q_bm25_seq": "SEQ(WORD(t0),WORD(t1))",
+        }.items():
+            t0 = time.time()
+            idx.rank(q, 10).collect()
+            timings[name] = round(time.time() - t0, 3)
+
+        # breadth: pipeline ops over the driver documents table
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from fulltextsearch_spark.functions.tokenizer import tokenize_terms_udf
+        from fulltextsearch_spark.operators import dedup as DD
+
+        tok = docs.select("doc_id", tokenize_terms_udf("text").alias("tokens"))
+        t0 = time.time()
+        DD.lsh_candidate_pairs(
+            DD.minhash_signatures(tok, n=3, n_perm=16), n_bands=4, rows_per_band=4
+        ).count()
+        timings["minhash_lsh"] = round(time.time() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        docs_per_sec = round(n_docs / build_sec, 1)
+        print(
+            json.dumps(
+                {
+                    "metric": "index-build + query-mix wall clock",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "n_docs": n_docs,
+                    "index_docs_per_sec": docs_per_sec,
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,15 +37,18 @@ def tokens_col(text_col):
     )
 
 
+def _in_set(words):
+    # single-arg lambda: pyspark HOFs pass (elem, idx) to 2-arg ones
+    ws = tuple(words)
+    return lambda t: t.isin(*ws)
+
+
 def lang_scores(toks):
     """Per-language marker-hit counts; predicted = argmax (ties: lang asc)."""
-    scores = {
-        lang: F.size(
-            F.filter(toks, lambda t, ws=tuple(words): t.isin(*ws))
-        )
+    return {
+        lang: F.size(F.filter(toks, _in_set(words)))
         for lang, words in LANG_MARKERS.items()
     }
-    return scores
 
 
 def lang_id_col(toks):

