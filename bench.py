@@ -45,8 +45,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     root = tempfile.mkdtemp(prefix="fts_bench_idx_")
+    corpus = tempfile.mkdtemp(prefix="fts_bench_pages_")
     try:
-        pages = synth_pages(spark, n_docs)
+        # materialize the corpus first (untimed) — the build metric
+        # measures indexing, not synthetic-text generation
+        synth_pages(spark, n_docs).repartition(cpus).write.mode(
+            "overwrite"
+        ).parquet(corpus)
+        pages = spark.read.parquet(corpus)
 
         t0 = time.time()
         build_index(
@@ -109,6 +115,7 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(corpus, ignore_errors=True)
         spark.stop()
 
 

@@ -34,32 +34,78 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fulltextsearch_spark.functions.tokenizer import tokenize_udf
-
 # occurrences exploded from pages; field_id starts at 1 (reference
 # FullTextIndexBuilder.cs:8-9); single-field pages => field_id == 1.
 OCC_COLS = ("term", "doc_id", "field_id", "pos")
 
 
-def tokenize_pages(pages_with_ids: DataFrame) -> DataFrame:
+TOKEN_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("field_id", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("off", T.IntegerType(), False),
+        T.StructField("len", T.IntegerType(), False),
+    ]
+)
+
+
+def tokenize_pages(pages_with_ids: DataFrame, field_id: int = 1) -> DataFrame:
     """pages(+doc_id) → one row per token occurrence.
 
-    Output: (doc_id, field_id, term, pos, off, len)
+    Output: (doc_id, field_id, term, pos, off, len). Implemented as
+    mapInPandas emitting flat numpy-backed columns — an order of
+    magnitude cheaper than building an array<struct> per row and
+    exploding it (no per-token Python dicts).
     """
-    return (
-        pages_with_ids.select(
-            "doc_id", F.lit(1).alias("field_id"), tokenize_udf("text").alias("toks")
-        )
-        .select("doc_id", "field_id", F.explode("toks").alias("t"))
-        .select(
-            "doc_id",
-            "field_id",
-            F.col("t.term").alias("term"),
-            F.col("t.pos").alias("pos"),
-            F.col("t.off").alias("off"),
-            F.col("t.len").alias("len"),
-        )
+    from fulltextsearch_spark.functions.tokenizer import tokenize_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, terms, poss, offs, lens = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                t, o, ln = tokenize_text(text)
+                n = len(t)
+                if n == 0:
+                    continue
+                doc_ids.append(np.full(n, doc_id, dtype=np.int64))
+                terms.extend(t)
+                poss.append(np.arange(1, n + 1, dtype=np.int32))
+                offs.append(o.astype(np.int32))
+                lens.append(ln.astype(np.int32))
+            if not terms:
+                continue
+            n_all = len(terms)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(doc_ids),
+                    "field_id": np.full(n_all, field_id, dtype=np.int32),
+                    "term": terms,
+                    "pos": np.concatenate(poss),
+                    "off": np.concatenate(offs),
+                    "len": np.concatenate(lens),
+                }
+            )
+
+    return pages_with_ids.select("doc_id", "text").mapInPandas(
+        run, TOKEN_ROWS_SCHEMA
     )
+
+
+def tokenize_compound(docs: DataFrame, field_cols: list[str]) -> DataFrame:
+    """Multi-field compound documents (reference AddCompound,
+    FullTextIndexBuilder.cs:50-64, SURVEY.md §2.A4): each text column
+    becomes field_id 1..N with its own 1-based token positions."""
+    out = None
+    for fid, col in enumerate(field_cols, start=1):
+        part = tokenize_pages(
+            docs.select("doc_id", F.col(col).alias("text")), field_id=fid
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def build_postings(tokens: DataFrame) -> DataFrame:
@@ -88,6 +134,12 @@ def build_dictionary(postings: DataFrame) -> DataFrame:
 def build_doc_stats(tokens: DataFrame) -> DataFrame:
     """occurrences → per-document token counts (doc_id, dl)."""
     return tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+
+def doc_stats_from_postings(postings: DataFrame) -> DataFrame:
+    """Same stats derived from committed postings (dl = Σ tf) — saves a
+    second tokenize pass during the build."""
+    return postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
 
 
 def build_doc_positions(tokens: DataFrame) -> DataFrame:
@@ -146,66 +198,77 @@ def build_blocks(
     salted = postings.withColumn(
         "doc_grp", (F.col("doc_id") / F.lit(doc_group_span)).cast("long")
     )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fulltextsearch_spark.operators.codec import encode_block
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            # whole-batch flat arrays — no per-group pandas slicing
+            terms = pdf["term"].to_numpy()
+            grps = pdf["doc_grp"].to_numpy(np.int64)
+            docs = pdf["doc_id"].to_numpy(np.int64)
+            fields = pdf["field_id"].to_numpy(np.int64)
+            tfs = pdf["tf"].to_numpy(np.int64)
+            pos_all = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+            )
+            # occurrence-level views
+            occ_docs = np.repeat(docs, tfs)
+            occ_fields = np.repeat(fields, tfs)
+            occ_tf = np.repeat(tfs, tfs)
+            row_off = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(tfs, out=row_off[1:])
+            # (term, doc_grp) group boundaries at row level
+            bnd = np.empty(n_rows, dtype=bool)
+            bnd[0] = True
+            bnd[1:] = (terms[1:] != terms[:-1]) | (grps[1:] != grps[:-1])
+            g_starts = np.nonzero(bnd)[0]
+            g_ends = np.append(g_starts[1:], n_rows)
+
+            out: dict[str, list] = {f.name: [] for f in BLOCK_SCHEMA.fields}
+            for gs, ge in zip(g_starts, g_ends):
+                term, doc_grp = terms[gs], int(grps[gs])
+                o0, o1 = int(row_off[gs]), int(row_off[ge])
+                # rows are (doc,field)-unique, so row offsets ARE the
+                # (doc,field) boundaries; chunk greedily, never
+                # splitting a row across blocks
+                bno = 0
+                s_row = gs
+                while s_row < ge:
+                    e_row = int(
+                        np.searchsorted(
+                            row_off, row_off[s_row] + block_max_occ, side="right"
+                        )
+                        - 1
+                    )
+                    if e_row <= s_row:  # one oversized (doc,field) row
+                        e_row = s_row + 1
+                    e_row = min(e_row, ge)
+                    s, e = int(row_off[s_row]), int(row_off[e_row])
+                    out["term"].append(term)
+                    out["doc_grp"].append(doc_grp)
+                    out["block_no"].append(bno)
+                    out["first_doc"].append(int(occ_docs[s]))
+                    out["last_doc"].append(int(occ_docs[e - 1]))
+                    out["n_occ"].append(e - s)
+                    out["n_docs"].append(
+                        int(np.count_nonzero(np.diff(occ_docs[s:e])) + 1)
+                    )
+                    out["max_tf"].append(int(occ_tf[s:e].max()))
+                    out["payload"].append(
+                        encode_block(occ_docs[s:e], occ_fields[s:e], pos_all[s:e])
+                    )
+                    bno += 1
+                    s_row = e_row
+            yield pd.DataFrame(out)
+
     return (
         salted.repartition("term", "doc_grp")
-        .groupBy("term", "doc_grp")
-        .applyInPandas(lambda key, pdf: _assemble_blocks_keyed(key, pdf, block_max_occ), BLOCK_SCHEMA)
-    )
-
-
-def _assemble_blocks_keyed(key, pdf: pd.DataFrame, block_max_occ: int) -> pd.DataFrame:
-    from fulltextsearch_spark.operators.codec import encode_block
-
-    term, doc_grp = key
-    pdf = pdf.sort_values(["doc_id", "field_id"])
-    docs_rep = np.repeat(pdf["doc_id"].to_numpy(np.int64), pdf["tf"].to_numpy())
-    fields_rep = np.repeat(pdf["field_id"].to_numpy(np.int64), pdf["tf"].to_numpy())
-    pos_flat = np.concatenate(
-        [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-    ) if len(pdf) else np.empty(0, np.int64)
-    tf_rep = np.repeat(pdf["tf"].to_numpy(np.int64), pdf["tf"].to_numpy())
-
-    n = len(docs_rep)
-    # block boundaries: greedy fill up to block_max_occ, snapped back to
-    # the latest (doc,field) boundary so a doc never splits.
-    is_boundary = np.empty(n, dtype=bool)
-    is_boundary[0] = True
-    is_boundary[1:] = (docs_rep[1:] != docs_rep[:-1]) | (
-        fields_rep[1:] != fields_rep[:-1]
-    )
-    boundary_idx = np.nonzero(is_boundary)[0]
-    starts = [0]
-    while starts[-1] + block_max_occ < n:
-        nxt_candidates = boundary_idx[
-            (boundary_idx > starts[-1]) & (boundary_idx <= starts[-1] + block_max_occ)
-        ]
-        if len(nxt_candidates):
-            starts.append(int(nxt_candidates[-1]))
-        else:  # one oversized doc — take the next boundary beyond the cap
-            beyond = boundary_idx[boundary_idx > starts[-1]]
-            if len(beyond) == 0:
-                break
-            starts.append(int(beyond[0]))
-    rows = []
-    for bno, s in enumerate(starts):
-        e = starts[bno + 1] if bno + 1 < len(starts) else n
-        payload = encode_block(docs_rep[s:e], fields_rep[s:e], pos_flat[s:e])
-        rows.append(
-            (
-                term,
-                int(doc_grp),
-                bno,
-                int(docs_rep[s]),
-                int(docs_rep[e - 1]),
-                int(e - s),
-                int(len(np.unique(docs_rep[s:e]))),
-                int(tf_rep[s:e].max()),
-                payload,
-            )
-        )
-    return pd.DataFrame(
-        rows,
-        columns=[f.name for f in BLOCK_SCHEMA.fields],
+        .sortWithinPartitions("term", "doc_grp", "doc_id", "field_id")
+        .mapInPandas(assemble, BLOCK_SCHEMA)
     )
 
 

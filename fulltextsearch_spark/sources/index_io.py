@@ -47,6 +47,24 @@ def term_bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+def _sorted_bucketed(df: DataFrame, *extra_sort_cols: str) -> DataFrame:
+    """Hash-partition on (bucket, term) + in-partition sort by
+    (bucket, term, ...) ahead of a partitionBy('bucket') write — the
+    writer's required ordering is pre-satisfied (no per-task re-sort of
+    array rows) and files get term-clustered row groups. Hash (not
+    range) partitioning: a range partitioner would run a sampling job
+    that recomputes the whole upstream aggregation."""
+    cols = ["bucket", "term", *extra_sort_cols]
+    # doc-range salt in the shuffle key: a stop-word term's posting
+    # rows would otherwise all land in one write task at 10^12 docs
+    salt = (F.col("doc_id") / F.lit(B.DOC_GROUP_SPAN)).cast("long") if (
+        "doc_id" in df.columns
+    ) else F.col("doc_grp")
+    return df.repartition(F.col("bucket"), F.col("term"), salt).sortWithinPartitions(
+        *cols
+    )
+
+
 def _read_manifest(root: str) -> dict | None:
     p = os.path.join(root, MANIFEST)
     if not os.path.exists(p):
@@ -70,6 +88,7 @@ def build_index(
     n_buckets: int = DEFAULT_BUCKETS,
     input_desc: str = "<inline>",
     keep_text: bool = True,
+    keep_positions: bool = True,
 ) -> dict:
     """Append one index segment built from ``pages``; returns the manifest.
 
@@ -101,28 +120,43 @@ def build_index(
 
     with_ids = assign_dense_ids(pages, "url", "doc_id", start=start_id)
     tokens = B.tokenize_pages(with_ids)
+    if keep_positions:
+        # positions need a second consumer of the tokenize output —
+        # cache it so the pandas UDF pass runs once
+        from pyspark import StorageLevel
+
+        tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
     postings = B.build_postings(tokens).withColumn(
         "bucket", term_bucket(F.col("term"), n_buckets)
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(seg_path, "postings")
-    )
+    # range-repartition + in-partition sort by (bucket, term, doc_id):
+    # the partitionBy writer's required ordering is already satisfied
+    # (no per-task re-sort of array rows), write parallelism stays at
+    # shuffle-partition width even with few buckets, and files get
+    # term-clustered row groups (min/max stats prune within a bucket).
+    _sorted_bucketed(postings, "doc_id").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(seg_path, "postings"))
+    # everything downstream derives from the committed postings — one
+    # tokenize pass total (the reference tokenizes once too, §3.1)
     postings_committed = spark.read.parquet(os.path.join(seg_path, "postings"))
     if mode == "blocks":
         blocks = B.build_blocks(postings_committed.drop("bucket")).withColumn(
             "bucket", term_bucket(F.col("term"), n_buckets)
         )
-        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(seg_path, "blocks")
-        )
+        _sorted_bucketed(blocks, "doc_grp", "block_no").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(seg_path, "blocks"))
     dictionary = B.build_dictionary(postings_committed)
     dictionary.write.mode("overwrite").parquet(os.path.join(seg_path, "dictionary"))
-    B.build_doc_stats(tokens).write.mode("overwrite").parquet(
+    B.doc_stats_from_postings(postings_committed).write.mode("overwrite").parquet(
         os.path.join(seg_path, "doc_stats")
     )
-    B.build_doc_positions(tokens).write.mode("overwrite").parquet(
-        os.path.join(seg_path, "doc_positions")
-    )
+    if keep_positions:
+        B.build_doc_positions(tokens).write.mode("overwrite").parquet(
+            os.path.join(seg_path, "doc_positions")
+        )
+        tokens.unpersist()
     docs_cols = ["doc_id", "url", "warc_ts", "lang"] + (["text"] if keep_text else [])
     with_ids.select(*docs_cols).write.mode("overwrite").parquet(
         os.path.join(seg_path, "docs")
@@ -161,6 +195,85 @@ def build_index(
         }
     )
     manifest["next_doc_id"] = start_id + n_docs
+    _write_manifest(root, manifest)
+    return manifest
+
+
+def compact_index(spark: SparkSession, root: str) -> dict:
+    """Merge all committed segments into one (segment compaction).
+
+    The query-side union of segments mirrors the reference's posting
+    continuation chains (SURVEY.md §2.C9); compaction collapses the
+    chain the way a segment-merging indexer does. Doc ids are already
+    global and disjoint across segments, so postings merge by union;
+    blocks/dictionary/stats are rebuilt from the merged postings.
+    Commits via the same atomic manifest swap.
+    """
+    idx = Index.open(spark, root)
+    manifest = idx.manifest
+    old = [s for s in manifest["segments"] if s["committed"]]
+    if len(old) <= 1:
+        return manifest
+    seg_id = 1 + max(s["id"] for s in manifest["segments"])
+    seg_name = f"seg_{seg_id:05d}"
+    seg_path = os.path.join(root, seg_name)
+    t0 = time.time()
+
+    postings = idx._union("postings")
+    _sorted_bucketed(postings, "doc_id").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(seg_path, "postings"))
+    merged = spark.read.parquet(os.path.join(seg_path, "postings"))
+    if idx.mode == "blocks":
+        blocks = B.build_blocks(merged.drop("bucket")).withColumn(
+            "bucket", term_bucket(F.col("term"), idx.n_buckets)
+        )
+        _sorted_bucketed(blocks, "doc_grp", "block_no").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(seg_path, "blocks"))
+    B.build_dictionary(merged).write.mode("overwrite").parquet(
+        os.path.join(seg_path, "dictionary")
+    )
+    idx.doc_stats().write.mode("overwrite").parquet(
+        os.path.join(seg_path, "doc_stats")
+    )
+    idx.docs().write.mode("overwrite").parquet(os.path.join(seg_path, "docs"))
+    try:
+        idx.doc_positions().write.mode("overwrite").parquet(
+            os.path.join(seg_path, "doc_positions")
+        )
+    except Exception:
+        pass  # positions were not kept at build time
+
+    n_docs = sum(s["n_docs"] for s in old)
+    stats = (
+        B.build_dictionary(merged)
+        .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"))
+        .collect()[0]
+    )
+    manifest["segments"] = [
+        {
+            "id": seg_id,
+            "path": seg_name,
+            "n_docs": n_docs,
+            "doc_id_range": [
+                min(s["doc_id_range"][0] for s in old),
+                max(s["doc_id_range"][1] for s in old),
+            ],
+            "lineage": {
+                "input": f"compaction of segments {[s['id'] for s in old]}",
+                "compacted_from": [s["id"] for s in old],
+                "row_count": n_docs,
+                "partitions": [],
+            },
+            "metrics": {
+                "n_terms": stats["n_terms"],
+                "n_postings": int(stats["n_postings"] or 0),
+                "build_sec": round(time.time() - t0, 3),
+            },
+            "committed": True,
+        }
+    ]
     _write_manifest(root, manifest)
     return manifest
 

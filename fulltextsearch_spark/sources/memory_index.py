@@ -37,7 +37,7 @@ class MemoryIndex:
             spark,
             postings,
             B.build_dictionary(postings),
-            B.build_doc_stats(tokens).persist(StorageLevel.MEMORY_AND_DISK),
+            B.doc_stats_from_postings(postings).persist(StorageLevel.MEMORY_AND_DISK),
             with_ids.select("doc_id", "url", "warc_ts", "lang", "text"),
         )
 
@@ -50,7 +50,7 @@ class MemoryIndex:
             spark,
             postings,
             B.build_dictionary(postings),
-            B.build_doc_stats(tokens).persist(StorageLevel.MEMORY_AND_DISK),
+            B.doc_stats_from_postings(postings).persist(StorageLevel.MEMORY_AND_DISK),
             docs,
         )
 
