@@ -49,7 +49,7 @@ def main() -> None:
     try:
         # materialize the corpus first (untimed) — the build metric
         # measures indexing, not synthetic-text generation
-        synth_pages(spark, n_docs).repartition(cpus).write.mode(
+        synth_pages(spark, n_docs).repartition(64).write.mode(
             "overwrite"
         ).parquet(corpus)
         pages = spark.read.parquet(corpus)
@@ -62,6 +62,23 @@ def main() -> None:
         timings["index_build"] = round(build_sec, 3)
 
         idx = Index.open(spark, root)
+        if os.environ.get("FTS_BENCH_BUILD_ONLY"):
+            total = round(sum(timings.values()), 3)
+            print(
+                json.dumps(
+                    {
+                        "metric": "index-build wall clock",
+                        "value": total,
+                        "unit": "sec",
+                        "queries": timings,
+                        "sf": sf,
+                        "n_docs": n_docs,
+                        "index_docs_per_sec": round(n_docs / build_sec, 1),
+                        "cpus": cpus,
+                    }
+                )
+            )
+            return
         query_mix = {
             "q_word_hot": "WORD(t0)",          # stopword-grade df
             "q_word_mid": "WORD(t500)",

@@ -117,29 +117,83 @@ def rank_query(index, query: str, k: int = 10) -> DataFrame:
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def wand_candidates(index, terms: list[str], k: int) -> DataFrame:
-    """Block-max WAND-style candidate pruning (blocks mode).
+def rank_terms_wand(index, terms: list[str], k: int = 10) -> DataFrame:
+    """Block-max WAND top-k over a term set (blocks mode) — score-safe.
 
-    Computes a per-block score upper bound from (max_tf, idf) with the
-    most favorable dl (tfn is monotone ↑ in tf, ↓ in dl; bound uses
-    dl→0 ⇒ tfn < k1+1 scaled), keeps blocks whose bound can reach the
-    current k-th threshold from the densest blocks, then decodes only
-    survivors. Used by bench's ranked path at scale; correctness path
-    never depends on it (pruning is score-safe).
+    Per-block score upper bound: ub = idf(term) · tfn(max_tf, dl→0)
+    (tfn is monotone ↑ in tf and ↓ in dl, so dl→0 majorizes; max_tf is
+    exact because blocks never split a (doc, field) row). Two phases:
+
+    1. SEED: decode only the k highest-ub blocks, score those docs
+       exactly (possibly missing some term contributions — an
+       underestimate, so the derived threshold θ is conservative).
+    2. PRUNE: for term t keep blocks with
+           ub_t(block) ≥ θ − Σ_{u≠t} ubmax(u)
+       — any doc whose t-block is pruned has total score
+       ≤ ub_t + Σ_{u≠t} ubmax(u) < θ ≤ true k-th score, so no true
+       top-k doc ever loses a contribution. Decode survivors, score
+       exactly, take top-k.
+
+    Verified rank-identical to the exhaustive `rank_query` path in
+    tests (test_wand.py). Multi-field caveat: the per-block bound is
+    per (doc, field); with multiple fields a doc's contributions could
+    split across blocks, so the bound is multiplied by the observed
+    field count (1 for the web-pages corpus).
     """
     n_docs, avgdl = index.collection_stats()
-    blocks = index.blocks(exact_terms=terms)
     dictionary = index.dictionary().where(F.col("term").isin(terms))
-    b = blocks.join(F.broadcast(dictionary), "term")
-    # upper bound: idf * tf_max*(k1+1)/(tf_max + k1*(1-b))  (dl→0)
+    blocks = index.blocks(exact_terms=terms).join(F.broadcast(dictionary), "term")
     ub = _idf_col(n_docs) * (
-        F.col("max_tf") * (BM25_K1 + 1.0)
+        F.col("max_tf")
+        * (BM25_K1 + 1.0)
         / (F.col("max_tf") + BM25_K1 * (1.0 - BM25_B))
     )
-    b = b.withColumn("ub", ub)
-    # threshold: k-th best single-block bound (cheap driver-side probe)
-    thresh_rows = b.orderBy(F.desc("ub")).select("ub").limit(k).collect()
-    if len(thresh_rows) < k:
-        return blocks
-    threshold = thresh_rows[-1]["ub"] / len(terms)
-    return b.where(F.col("ub") >= F.lit(threshold)).select(blocks.columns)
+    blocks = blocks.withColumn("ub", ub).persist()
+    try:
+        ubmax = {
+            r["term"]: r["m"]
+            for r in blocks.groupBy("term").agg(F.max("ub").alias("m")).collect()
+        }
+        if not ubmax:
+            return index.spark.createDataFrame([], "doc_id long, score double")
+        block_cols = ["term", "payload"]
+
+        def exact_scores(bdf) -> DataFrame:
+            from fulltextsearch_spark.operators.build import decode_blocks
+
+            postings = decode_blocks(bdf.select(*block_cols))
+            doc_tf = postings.groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))
+            return (
+                doc_tf.join(F.broadcast(dictionary), "term")
+                .join(index.doc_stats(), "doc_id")
+                .select(
+                    "doc_id", (_idf_col(n_docs) * _tfn_col(F.col("tf"), avgdl)).alias("s")
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("s").alias("score"))
+            )
+
+        seed = blocks.orderBy(F.desc("ub")).limit(k)
+        seed_scores = (
+            exact_scores(seed).orderBy(F.desc("score")).limit(k).collect()
+        )
+        if len(seed_scores) < k:
+            survivors = blocks  # not enough candidates to prune safely
+        else:
+            theta = seed_scores[-1]["score"]
+            total_ubmax = sum(ubmax.values())
+            # per-term residual bound: θ - Σ_{u≠t} ubmax(u)
+            residual = F.lit(theta) - (F.lit(total_ubmax) - F.coalesce(
+                F.create_map(
+                    *[F.lit(x) for kv in ubmax.items() for x in kv]
+                )[F.col("term")],
+                F.lit(0.0),
+            ))
+            survivors = blocks.where(F.col("ub") >= residual)
+        return (
+            exact_scores(survivors)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    finally:
+        blocks.unpersist()

@@ -265,8 +265,12 @@ def build_blocks(
                     s_row = e_row
             yield pd.DataFrame(out)
 
+    # explicit partition count: a bare repartition(cols) is subject to
+    # AQE coalescing, which at moderate data sizes collapses this
+    # CPU-bound encode stage to a couple of tasks regardless of cores
+    n_parts = postings.sparkSession.sparkContext.defaultParallelism * 2
     return (
-        salted.repartition("term", "doc_grp")
+        salted.repartition(n_parts, "term", "doc_grp")
         .sortWithinPartitions("term", "doc_grp", "doc_id", "field_id")
         .mapInPandas(assemble, BLOCK_SCHEMA)
     )

@@ -29,6 +29,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # local-scale advisory: the default 64m coalesces the build's
+        # ~100MB shuffles down to 2 tasks, serializing CPU-bound stages;
+        # cluster deployments override via spark-submit --conf
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # local-scale scan splits: defaults (128m/4m) bin-pack a small
+        # corpus into 1-3 scan tasks regardless of cores
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

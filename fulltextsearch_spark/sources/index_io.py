@@ -60,9 +60,12 @@ def _sorted_bucketed(df: DataFrame, *extra_sort_cols: str) -> DataFrame:
     salt = (F.col("doc_id") / F.lit(B.DOC_GROUP_SPAN)).cast("long") if (
         "doc_id" in df.columns
     ) else F.col("doc_grp")
-    return df.repartition(F.col("bucket"), F.col("term"), salt).sortWithinPartitions(
-        *cols
-    )
+    # explicit count — bare repartition(cols) would be AQE-coalesced
+    # down to a handful of write tasks at moderate sizes
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(
+        n_parts, F.col("bucket"), F.col("term"), salt
+    ).sortWithinPartitions(*cols)
 
 
 def _read_manifest(root: str) -> dict | None:
