@@ -289,6 +289,9 @@ class Index:
     spark: SparkSession
     root: str
     manifest: dict = field(repr=False, default=None)
+    _dictionary_cache: DataFrame | None = field(repr=False, default=None)
+    _doc_stats_cache: DataFrame | None = field(repr=False, default=None)
+    _collection_stats: tuple[int, float] | None = field(repr=False, default=None)
 
     @classmethod
     def open(cls, spark: SparkSession, root: str) -> "Index":
@@ -320,15 +323,25 @@ class Index:
         return self.manifest["type"]["n_buckets"]
 
     def dictionary(self) -> DataFrame:
-        """Merged term dictionary across segments (term, df, cf)."""
-        return (
-            self._union("dictionary")
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        )
+        """Merged term dictionary across segments (term, df, cf).
+
+        Cached (persisted) per Index handle: every query touches it and
+        it is small (one row per term). Reopening after an append gets
+        a fresh handle, so staleness cannot occur.
+        """
+        if self._dictionary_cache is None:
+            self._dictionary_cache = (
+                self._union("dictionary")
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .persist()
+            )
+        return self._dictionary_cache
 
     def doc_stats(self) -> DataFrame:
-        return self._union("doc_stats")
+        if self._doc_stats_cache is None:
+            self._doc_stats_cache = self._union("doc_stats").persist()
+        return self._doc_stats_cache
 
     def docs(self) -> DataFrame:
         return self._union("docs")
@@ -337,10 +350,12 @@ class Index:
         return self._union("doc_positions")
 
     def collection_stats(self) -> tuple[int, float]:
-        r = self.doc_stats().agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
-        return int(r["n"]), float(r["avgdl"] or 0.0)
+        if self._collection_stats is None:
+            r = self.doc_stats().agg(
+                F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            ).collect()[0]
+            self._collection_stats = (int(r["n"]), float(r["avgdl"] or 0.0))
+        return self._collection_stats
 
     def postings(self, term_pred=None, exact_terms: list[str] | None = None) -> DataFrame:
         """Posting rows, optionally filtered.
@@ -373,16 +388,12 @@ class Index:
         return df
 
     def _buckets_of(self, terms: list[str]) -> list[int]:
-        """Bucket ids for exact terms — one tiny local job for the lot."""
-        if not terms:
-            return []
-        rows = (
-            self.spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(term_bucket(F.col("term"), self.n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        )
-        return sorted(int(r["b"]) for r in rows)
+        """Bucket ids for exact terms — computed on the driver with the
+        pure-Python xxhash64 twin (parity-tested vs the JVM function),
+        so a point lookup costs no Spark job."""
+        from fulltextsearch_spark.functions.xxhash import term_bucket_py
+
+        return sorted({term_bucket_py(t, self.n_buckets) for t in terms})
 
     # --- query API (delegates) ----------------------------------------
     def search(self, query: str) -> DataFrame:
