@@ -1,0 +1,159 @@
+"""Deterministic query workload + latency percentiles (FIXTURES.md §4).
+
+Builds 100 queries from the index's own dictionary (df-stratified so
+WORD terms span hot/mid/rare), runs each end-to-end (plan → count or
+top-k collect), and reports p50/p95 per query class and overall.
+
+Usage: python bench/query_workload.py [n_docs] [n_queries]
+Appends a results section to BENCH/BASELINE.md when run with
+FTS_WORKLOAD_WRITE=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_workload(terms_by_df: list[str], n_queries: int, seed: int = 42):
+    """terms_by_df: terms sorted by descending df."""
+    rng = random.Random(seed)
+    n = len(terms_by_df)
+
+    def stratified():
+        # pick across the df spectrum: hot (top 1%), mid, tail
+        band = rng.random()
+        if band < 0.3:
+            i = rng.randrange(0, max(1, n // 100))
+        elif band < 0.7:
+            i = rng.randrange(n // 100, max(2, n // 4))
+        else:
+            i = rng.randrange(n // 4, n)
+        return terms_by_df[i]
+
+    mix = (
+        [("word", 40)], [("or", 20)], [("and", 15)], [("seq", 15)],
+        [("wild", 5)], [("edit", 5)],
+    )
+    counts = {k: v for group in mix for k, v in group}
+    total = sum(counts.values())
+    queries: list[tuple[str, str]] = []
+    for kind, cnt in counts.items():
+        take = max(1, round(cnt * n_queries / total))
+        for _ in range(take):
+            if kind == "word":
+                queries.append(("word", f"WORD({stratified()})"))
+            elif kind == "or":
+                k = rng.choice([2, 2, 3])
+                queries.append(
+                    ("or", "OR(" + ",".join(f"WORD({stratified()})" for _ in range(k)) + ")")
+                )
+            elif kind == "and":
+                k = rng.choice([2, 2, 3])
+                queries.append(
+                    ("and", "AND(" + ",".join(f"WORD({stratified()})" for _ in range(k)) + ")")
+                )
+            elif kind == "seq":
+                k = rng.choice([2, 2, 3, 4])
+                queries.append(
+                    ("seq", "SEQ(" + ",".join(f"WORD({stratified()})" for _ in range(k)) + ")")
+                )
+            elif kind == "wild":
+                t = stratified()
+                queries.append(("wild", f"WILD({t[: max(1, len(t) - 2)]}*)"))
+            elif kind == "edit":
+                queries.append(("edit", f"EDIT({stratified()},1)"))
+    return queries[:n_queries]
+
+
+def pctl(xs: list[float], p: float) -> float:
+    xs = sorted(xs)
+    i = min(len(xs) - 1, int(round(p / 100 * (len(xs) - 1))))
+    return xs[i]
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.session import get_spark
+    from fulltextsearch_spark.sources.index_io import Index, build_index
+    from fulltextsearch_spark.sources.pages import synth_pages
+
+    spark = get_spark("fts-workload", cores=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="fts_workload_idx_")
+    corpus = tempfile.mkdtemp(prefix="fts_workload_pages_")
+    synth_pages(spark, n_docs).repartition(64).write.mode("overwrite").parquet(corpus)
+    build_index(spark, spark.read.parquet(corpus), root, mode="blocks")
+    idx = Index.open(spark, root)
+
+    terms_by_df = [
+        r["term"]
+        for r in idx.dictionary().orderBy(F.desc("df"), "term").limit(20000).collect()
+    ]
+    workload = build_workload(terms_by_df, n_queries)
+
+    lat: dict[str, list[float]] = {}
+    for kind, q in workload:
+        t0 = time.time()
+        idx.search(q).count()
+        lat.setdefault(kind, []).append(time.time() - t0)
+    # ranked latencies on the WORD/OR subset
+    for kind, q in workload:
+        if kind in ("word", "or"):
+            t0 = time.time()
+            idx.rank(q, 10).collect()
+            lat.setdefault("bm25", []).append(time.time() - t0)
+
+    all_lat = [x for xs in lat.values() for x in xs]
+    summary = {
+        "n_docs": n_docs,
+        "n_queries": len(workload),
+        "p50_sec": round(pctl(all_lat, 50), 3),
+        "p95_sec": round(pctl(all_lat, 95), 3),
+        "per_class": {
+            k: {"n": len(v), "p50": round(pctl(v, 50), 3), "p95": round(pctl(v, 95), 3)}
+            for k, v in sorted(lat.items())
+        },
+    }
+    print(json.dumps(summary))
+    if os.environ.get("FTS_WORKLOAD_WRITE"):
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            rows = "\n".join(
+                f"| {k} | {v['n']} | {v['p50']} | {v['p95']} |"
+                for k, v in summary["per_class"].items()
+            )
+            f.write(
+                f"""
+
+## Query-latency workload ({len(workload)} deterministic queries, FIXTURES.md §4)
+
+Corpus: synthetic {n_docs} docs, blocks mode, local[32]. Each query runs
+end-to-end (parse → plan → execute → count / top-10 collect).
+
+| class | n | p50 (s) | p95 (s) |
+|---|---|---|---|
+{rows}
+
+**Overall: p50 {summary['p50_sec']} s, p95 {summary['p95_sec']} s.**
+Latency is dominated by fixed Spark job overhead per query at this
+corpus size (32-core local mode; ~0.3-0.5 s scheduling + python-worker
+round trips per stage), not data volume — see BASELINE.md §2 note on
+p95 targets.
+"""
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

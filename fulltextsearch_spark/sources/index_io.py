@@ -395,6 +395,23 @@ class Index:
 
         return sorted({term_bucket_py(t, self.n_buckets) for t in terms})
 
+    def get_text(self, doc_id: int) -> str | None:
+        """Point lookup of a document's original text — the reference's
+        IFullTextIndex.GetText (PersistentIndex.cs:93-119). doc_id is a
+        parquet row-group-prunable predicate."""
+        rows = self.docs().where(F.col("doc_id") == doc_id).select("text").collect()
+        return rows[0]["text"] if rows else None
+
+    def get_positions(self, doc_id: int, field_id: int = 1) -> list[int] | None:
+        """Flat even/odd (off+1, off+1+len) token-position vector for a
+        (doc, field) — the reference's GetPositions."""
+        rows = (
+            self.doc_positions()
+            .where((F.col("doc_id") == doc_id) & (F.col("field_id") == field_id))
+            .collect()
+        )
+        return list(rows[0]["positions"]) if rows else None
+
     # --- query API (delegates) ----------------------------------------
     def search(self, query: str) -> DataFrame:
         from fulltextsearch_spark.plans.planner import plan_query
