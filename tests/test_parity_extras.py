@@ -113,6 +113,35 @@ def test_phrase_does_not_cross_fields(spark, tmp_path):
     assert got == "{[2,1,1], [2,1,2]}"
 
 
+def test_unicode_corpus_engine_matches_oracle(spark):
+    """Non-ASCII corpus through the full index+query path vs oracle
+    (tokenizer hard-part check at index level, SURVEY §7)."""
+    from fulltextsearch_spark.operators import build as B
+    from fulltextsearch_spark.oracle.pyoracle import corpus_oracle
+    from fulltextsearch_spark.plans.planner import matches_to_string
+    from fulltextsearch_spark.sources.memory_index import MemoryIndex
+
+    texts = {
+        1: "Café МИР приветствует 世界 123",
+        2: "café society: cafe vs café",
+        3: "ΑΒΓ αβγ Straße STRASSE \U0001f600 emoji-break",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    idx = MemoryIndex.from_docs_table(spark, docs)
+    oracle = corpus_oracle(texts)
+    for q in [
+        "WORD(café)",
+        "WORD(мир)",
+        "WILD(caf*)",
+        "EDIT(cafe,1)",
+        "OR(WORD(αβγ),WORD(straße))",
+        "SEQ(WORD(café),WORD(мир))",
+    ]:
+        assert matches_to_string(idx.search(q)) == oracle.search(q), q
+
+
 def test_annotate_and_token_at_offset():
     from fulltextsearch_spark.operators.display import annotate_text, token_at_offset
     from fulltextsearch_spark.functions.tokenizer import tokenize_text
