@@ -357,13 +357,22 @@ class Index:
             self._collection_stats = (int(r["n"]), float(r["avgdl"] or 0.0))
         return self._collection_stats
 
-    def postings(self, term_pred=None, exact_terms: list[str] | None = None) -> DataFrame:
+    def postings(
+        self,
+        term_pred=None,
+        exact_terms: list[str] | None = None,
+        min_doc: int | None = None,
+    ) -> DataFrame:
         """Posting rows, optionally filtered.
 
         ``term_pred``: Column predicate over `term` (like / levenshtein /
         equality). ``exact_terms``: when the term set is known exactly,
         adds a bucket filter so parquet partition pruning skips all
         other bucket directories (the dictionary-point-lookup analog).
+        ``min_doc``: lower-bound seek (ISkipList.LowerBound analog,
+        SURVEY §2.D13) — in blocks mode prunes whole blocks via the
+        ``last_doc`` skip column before any payload decode, then seeks
+        within surviving blocks.
         """
         table = "blocks" if self.mode == "blocks" else "postings"
         df = self._union(table)
@@ -373,7 +382,11 @@ class Index:
         elif term_pred is not None:
             df = df.where(term_pred)
         if self.mode == "blocks":
-            df = B.decode_blocks(df.select("term", "payload"))
+            if min_doc is not None:
+                df = df.where(F.col("last_doc") >= min_doc)
+            df = B.decode_blocks(df.select("term", "payload"), min_doc=min_doc)
+        elif min_doc is not None:
+            df = df.where(F.col("doc_id") >= min_doc)
         return df.select("term", "doc_id", "field_id", "positions", "tf")
 
     def blocks(self, exact_terms: list[str] | None = None) -> DataFrame:
