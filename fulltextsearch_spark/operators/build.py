@@ -95,6 +95,65 @@ def tokenize_pages(pages_with_ids: DataFrame, field_id: int = 1) -> DataFrame:
     )
 
 
+def tokenize_postings(pages_with_ids: DataFrame, field_id: int = 1) -> DataFrame:
+    """pages(+doc_id) → posting rows directly, no shuffle.
+
+    A (term, doc, field) posting's positions all live inside one
+    document, so the per-doc assembly (sort terms, group, slice
+    positions) can happen inside the tokenize pass itself — the
+    reference does exactly this with its per-document SortedDictionary
+    fill (FullTextIndexBuilder.cs:97-115). This removes the
+    groupBy(term, doc, field) shuffle and its collect_list aggregation
+    from the build entirely; the only remaining wide op is the
+    bucket-write repartition.
+
+    Output: (term, doc_id, field_id, positions array<int>, tf int).
+    """
+    from fulltextsearch_spark.functions.tokenizer import tokenize_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_term, out_positions, out_tf = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                terms, _, _ = tokenize_text(text)
+                n = len(terms)
+                if n == 0:
+                    continue
+                arr = np.array(terms, dtype=object)
+                order = np.argsort(arr, kind="stable")
+                sorted_terms = arr[order]
+                pos_sorted = (order + 1).astype(np.int32)  # 1-based token ids
+                bnd = np.empty(n, dtype=bool)
+                bnd[0] = True
+                bnd[1:] = sorted_terms[1:] != sorted_terms[:-1]
+                starts = np.nonzero(bnd)[0]
+                ends = np.append(starts[1:], n)
+                out_doc.append(np.full(len(starts), doc_id, dtype=np.int64))
+                out_term.extend(sorted_terms[starts])
+                out_positions.extend(
+                    pos_sorted[s:e].tolist() for s, e in zip(starts, ends)
+                )
+                out_tf.append((ends - starts).astype(np.int32))
+            if not out_term:
+                continue
+            n_rows = len(out_term)
+            yield pd.DataFrame(
+                {
+                    "term": out_term,
+                    "doc_id": np.concatenate(out_doc),
+                    "field_id": np.full(n_rows, field_id, dtype=np.int32),
+                    "positions": out_positions,
+                    "tf": np.concatenate(out_tf),
+                }
+            )
+
+    return pages_with_ids.select("doc_id", "text").mapInPandas(
+        run, POSTING_SCHEMA
+    )
+
+
 def tokenize_compound(docs: DataFrame, field_cols: list[str]) -> DataFrame:
     """Multi-field compound documents (reference AddCompound,
     FullTextIndexBuilder.cs:50-64, SURVEY.md §2.A4): each text column

@@ -122,14 +122,10 @@ def build_index(
     start_id = manifest["next_doc_id"]
 
     with_ids = assign_dense_ids(pages, "url", "doc_id", start=start_id)
-    tokens = B.tokenize_pages(with_ids)
-    if keep_positions:
-        # positions need a second consumer of the tokenize output —
-        # cache it so the pandas UDF pass runs once
-        from pyspark import StorageLevel
-
-        tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
-    postings = B.build_postings(tokens).withColumn(
+    # posting rows assembled per doc inside the tokenize pass — no
+    # groupBy shuffle (tokenize_postings docstring); the doc-positions
+    # table, when kept, is its own narrow tokenize pass
+    postings = B.tokenize_postings(with_ids).withColumn(
         "bucket", term_bucket(F.col("term"), n_buckets)
     )
     # range-repartition + in-partition sort by (bucket, term, doc_id):
@@ -156,10 +152,9 @@ def build_index(
         os.path.join(seg_path, "doc_stats")
     )
     if keep_positions:
-        B.build_doc_positions(tokens).write.mode("overwrite").parquet(
-            os.path.join(seg_path, "doc_positions")
-        )
-        tokens.unpersist()
+        B.build_doc_positions(B.tokenize_pages(with_ids)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(seg_path, "doc_positions"))
     docs_cols = ["doc_id", "url", "warc_ts", "lang"] + (["text"] if keep_text else [])
     with_ids.select(*docs_cols).write.mode("overwrite").parquet(
         os.path.join(seg_path, "docs")

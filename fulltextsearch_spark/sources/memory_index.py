@@ -31,8 +31,7 @@ class MemoryIndex:
     @classmethod
     def from_pages(cls, spark: SparkSession, pages: DataFrame) -> "MemoryIndex":
         with_ids = assign_dense_ids(pages, "url", "doc_id", start=1)
-        tokens = B.tokenize_pages(with_ids)
-        postings = B.build_postings(tokens).persist(StorageLevel.MEMORY_AND_DISK)
+        postings = B.tokenize_postings(with_ids).persist(StorageLevel.MEMORY_AND_DISK)
         return cls(
             spark,
             postings,
@@ -44,8 +43,9 @@ class MemoryIndex:
     @classmethod
     def from_docs_table(cls, spark: SparkSession, docs: DataFrame) -> "MemoryIndex":
         """Build directly from (doc_id, text) rows — ids taken as given."""
-        tokens = B.tokenize_pages(docs.select("doc_id", "text"))
-        postings = B.build_postings(tokens).persist(StorageLevel.MEMORY_AND_DISK)
+        postings = B.tokenize_postings(docs.select("doc_id", "text")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         return cls(
             spark,
             postings,
