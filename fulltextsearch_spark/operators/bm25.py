@@ -26,7 +26,6 @@ score bound per block for WAND-style pruning — see `wand_candidates`.
 
 from __future__ import annotations
 
-import math
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -69,14 +68,22 @@ def _leaf_scores(index, node, n_docs: int, avgdl: float) -> DataFrame:
 
 
 def _phrase_scores(index, node: FuncAst, n_docs: int, avgdl: float) -> DataFrame:
+    """Phrase BM25 as ONE lazy plan: df_phrase is a broadcast 1-row
+    aggregate over the same doc_tf subplan, so Spark's ReusedExchange
+    executes the phrase join once (no separate `.count()` action, no
+    double execution). Zero matches → empty doc_tf → empty result, no
+    special case."""
     matches = plan_node(index, node)  # (doc_id, field_id, positions)
     doc_tf = matches.groupBy("doc_id").agg(F.count("*").alias("tf"))
-    df_phrase = doc_tf.count()
-    if df_phrase == 0:
-        return index.spark.createDataFrame([], "doc_id long, score double")
-    idf = math.log(1.0 + (n_docs - df_phrase + 0.5) / (df_phrase + 0.5))
-    return doc_tf.join(index.doc_stats(), "doc_id").select(
-        "doc_id", (F.lit(idf) * _tfn_col(F.col("tf"), avgdl)).alias("score")
+    dfp = doc_tf.agg(F.count("*").cast("double").alias("dfp"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("dfp") + F.lit(0.5)) / (F.col("dfp") + F.lit(0.5))
+    )
+    return (
+        doc_tf.crossJoin(F.broadcast(dfp))
+        .join(index.doc_stats(), "doc_id")
+        .select("doc_id", (idf * _tfn_col(F.col("tf"), avgdl)).alias("score"))
     )
 
 
@@ -161,7 +168,9 @@ def rank_terms_wand(index, terms: list[str], k: int = 10) -> DataFrame:
         def exact_scores(bdf) -> DataFrame:
             from fulltextsearch_spark.operators.build import decode_blocks
 
-            postings = decode_blocks(bdf.select(*block_cols))
+            postings = decode_blocks(
+                bdf.select(*block_cols), codec=getattr(index, "mode", "blocks")
+            )
             doc_tf = postings.groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))
             return (
                 doc_tf.join(F.broadcast(dictionary), "term")

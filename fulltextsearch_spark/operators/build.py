@@ -95,7 +95,17 @@ def tokenize_pages(pages_with_ids: DataFrame, field_id: int = 1) -> DataFrame:
     )
 
 
-def tokenize_postings(pages_with_ids: DataFrame, field_id: int = 1) -> DataFrame:
+# Sentinel "term" for per-document position-vector rows carried inside
+# the postings table (see tokenize_postings emit_doc_positions). The
+# tokenizer never emits an empty-string token, so "" cannot collide.
+DP_TERM = ""
+
+
+def tokenize_postings(
+    pages_with_ids: DataFrame,
+    field_id: int = 1,
+    emit_doc_positions: bool = False,
+) -> DataFrame:
     """pages(+doc_id) → posting rows directly, no shuffle.
 
     A (term, doc, field) posting's positions all live inside one
@@ -107,6 +117,13 @@ def tokenize_postings(pages_with_ids: DataFrame, field_id: int = 1) -> DataFrame
     from the build entirely; the only remaining wide op is the
     bucket-write repartition.
 
+    ``emit_doc_positions=True`` additionally yields ONE sentinel row per
+    (doc, field) with term=DP_TERM, tf=0 and positions = the flat
+    even/odd (off+1, off+1+len) vector (reference's document position
+    list, FullTextIndexBuilder.cs:99-114) — so the doc-positions table
+    falls out of the SAME single tokenize pass instead of a second full
+    pass over the corpus.
+
     Output: (term, doc_id, field_id, positions array<int>, tf int).
     """
     from fulltextsearch_spark.functions.tokenizer import tokenize_text
@@ -117,10 +134,18 @@ def tokenize_postings(pages_with_ids: DataFrame, field_id: int = 1) -> DataFrame
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
-                terms, _, _ = tokenize_text(text)
+                terms, offs, lens = tokenize_text(text)
                 n = len(terms)
                 if n == 0:
                     continue
+                if emit_doc_positions:
+                    flat = np.empty(2 * n, dtype=np.int32)
+                    flat[0::2] = offs + 1
+                    flat[1::2] = offs + 1 + lens
+                    out_doc.append(np.array([doc_id], dtype=np.int64))
+                    out_term.append(DP_TERM)
+                    out_positions.append(flat.tolist())
+                    out_tf.append(np.zeros(1, dtype=np.int32))
                 arr = np.array(terms, dtype=object)
                 order = np.argsort(arr, kind="stable")
                 sorted_terms = arr[order]
@@ -186,7 +211,11 @@ def build_dictionary(postings: DataFrame) -> DataFrame:
     ours additionally carries document/collection frequency for BM25.
     """
     return postings.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
+        # distinct doc_id, not row count: compound (multi-field) docs
+        # contribute one (term, doc, field) row per field but must count
+        # once toward df (document frequency)
+        F.count_distinct("doc_id").alias("df"),
+        F.sum("tf").alias("cf"),
     )
 
 
@@ -239,10 +268,20 @@ DOC_GROUP_SPAN = 1 << 22
 BLOCK_MAX_OCC = 4096
 
 
+def _block_codec(codec: str):
+    """Payload (encode, decode) pair for a block codec/mode name."""
+    from fulltextsearch_spark.operators import codec as C
+
+    if codec == "groupvarint":
+        return C.encode_block_gv, C.decode_block_gv
+    return C.encode_block, C.decode_block
+
+
 def build_blocks(
     postings: DataFrame,
     doc_group_span: int = DOC_GROUP_SPAN,
     block_max_occ: int = BLOCK_MAX_OCC,
+    codec: str = "blocks",
 ) -> DataFrame:
     """postings → compressed block rows with skip/block-max metadata.
 
@@ -259,12 +298,10 @@ def build_blocks(
     )
 
     def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from fulltextsearch_spark.operators.codec import encode_block
+        encode_block, _ = _block_codec(codec)
 
-        for pdf in batches:
+        def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
             n_rows = len(pdf)
-            if n_rows == 0:
-                continue
             # whole-batch flat arrays — no per-group pandas slicing
             terms = pdf["term"].to_numpy()
             grps = pdf["doc_grp"].to_numpy(np.int64)
@@ -322,7 +359,31 @@ def build_blocks(
                     )
                     bno += 1
                     s_row = e_row
-            yield pd.DataFrame(out)
+            return pd.DataFrame(out)
+
+        # a (term, doc_grp) group may span Arrow batches (mapInPandas
+        # splits a partition into ~10k-row batches): hold the trailing
+        # group back until the next batch so block_no numbering and
+        # block sizing always see whole groups
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            grps = pdf["doc_grp"].to_numpy()
+            bnd = np.empty(n_rows, dtype=bool)
+            bnd[0] = True
+            bnd[1:] = (terms[1:] != terms[:-1]) | (grps[1:] != grps[:-1])
+            split = int(np.nonzero(bnd)[0][-1])
+            carry = pdf.iloc[split:].reset_index(drop=True)
+            if split > 0:
+                yield encode_groups(pdf.iloc[:split].reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield encode_groups(carry)
 
     # explicit partition count: a bare repartition(cols) is subject to
     # AQE coalescing, which at moderate data sizes collapses this
@@ -346,7 +407,9 @@ POSTING_SCHEMA = T.StructType(
 )
 
 
-def decode_blocks(blocks: DataFrame, min_doc: int | None = None) -> DataFrame:
+def decode_blocks(
+    blocks: DataFrame, min_doc: int | None = None, codec: str = "blocks"
+) -> DataFrame:
     """block rows → postings (term, doc_id, field_id, positions, tf).
 
     Callers prune first (term equality / bucket / `last_doc >= min_doc`);
@@ -354,7 +417,7 @@ def decode_blocks(blocks: DataFrame, min_doc: int | None = None) -> DataFrame:
     """
 
     def decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from fulltextsearch_spark.operators.codec import decode_block
+        _, decode_block = _block_codec(codec)
 
         for pdf in pdfs:
             out_term, out_doc, out_field, out_positions, out_tf = [], [], [], [], []

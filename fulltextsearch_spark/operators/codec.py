@@ -79,8 +79,11 @@ def _grouped_cumsum(deltas: np.ndarray, reset: np.ndarray) -> np.ndarray:
     return total - carry[seg_id]
 
 
-def encode_block(docs: np.ndarray, fields: np.ndarray, pos: np.ndarray) -> bytes:
-    """Encode one block of lexicographically-sorted occurrences."""
+def _delta_streams(
+    docs: np.ndarray, fields: np.ndarray, pos: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Occurrence columns → the three delta streams (shared by the
+    varint and group-varint payload codecs)."""
     n = len(docs)
     docs = docs.astype(np.int64)
     fields = fields.astype(np.int64)
@@ -92,6 +95,28 @@ def encode_block(docs: np.ndarray, fields: np.ndarray, pos: np.ndarray) -> bytes
     dfield = np.where(new_doc, fields, fields - np.concatenate(([0], fields[:-1])))
     new_df = new_doc | (dfield > 0)
     dpos = np.where(new_df, pos, pos - np.concatenate(([0], pos[:-1])))
+    return ddoc, dfield, dpos
+
+
+def _reconstruct(
+    ddoc: np.ndarray, dfield: np.ndarray, dpos: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`_delta_streams`."""
+    n = len(ddoc)
+    docs = np.cumsum(ddoc)
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = ddoc[1:] > 0
+    fields = _grouped_cumsum(dfield, new_doc)
+    new_df = new_doc | (np.where(new_doc, False, dfield > 0))
+    pos = _grouped_cumsum(dpos, new_df)
+    return docs, fields, pos
+
+
+def encode_block(docs: np.ndarray, fields: np.ndarray, pos: np.ndarray) -> bytes:
+    """Encode one block of lexicographically-sorted occurrences."""
+    n = len(docs)
+    ddoc, dfield, dpos = _delta_streams(docs, fields, pos)
     header = varint_encode(np.array([n], dtype=np.uint64))
     return (
         header
@@ -106,15 +131,37 @@ def decode_block(payload: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     all_vals = varint_decode(payload)
     n = int(all_vals[0])
     body = all_vals[1 : 1 + 3 * n].astype(np.int64)
-    ddoc, dfield, dpos = body[:n], body[n : 2 * n], body[2 * n :]
-    docs = np.cumsum(ddoc)
-    new_doc = np.empty(n, dtype=bool)
-    new_doc[0] = True
-    new_doc[1:] = ddoc[1:] > 0
-    fields = _grouped_cumsum(dfield, new_doc)
-    new_df = new_doc | (np.where(new_doc, False, dfield > 0))
-    pos = _grouped_cumsum(dpos, new_df)
-    return docs, fields, pos
+    return _reconstruct(body[:n], body[n : 2 * n], body[2 * n :])
+
+
+def encode_block_gv(docs: np.ndarray, fields: np.ndarray, pos: np.ndarray) -> bytes:
+    """GroupVarint payload variant — same delta streams, encoded with
+    the reference's 32-bit group-varint format (Common/GroupVarInt.cs:
+    49-259, SURVEY.md §2.C6). Mirrors the reference codec's 32-bit
+    value limit: the block's first doc id must fit uint32 (the primary
+    varint codec has no such limit)."""
+    from fulltextsearch_spark.operators.groupvarint import groupvarint_encode
+
+    n = len(docs)
+    ddoc, dfield, dpos = _delta_streams(docs, fields, pos)
+    vals = np.concatenate(
+        [np.array([n], dtype=np.int64), ddoc, dfield, dpos]
+    ).astype(np.uint64)
+    if (vals >> np.uint64(32)).any():
+        raise OverflowError(
+            "groupvarint mode is 32-bit (reference parity); doc ids/deltas "
+            "exceed uint32 — use mode='blocks'"
+        )
+    return groupvarint_encode(vals)
+
+
+def decode_block_gv(payload: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    from fulltextsearch_spark.operators.groupvarint import groupvarint_decode
+
+    n = int(groupvarint_decode(payload, 1)[0])
+    all_vals = groupvarint_decode(payload, 1 + 3 * n).astype(np.int64)
+    body = all_vals[1:]
+    return _reconstruct(body[:n], body[n : 2 * n], body[2 * n :])
 
 
 def decode_block_lower_bound(

@@ -46,12 +46,19 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(tokens_col, n: int = 3):
-    """n-word shingles from a token array column (distinct)."""
+    """n-word shingles from a token array column (distinct).
+
+    Docs with fewer than n tokens yield an empty array — without the
+    guard, F.sequence(0, size-n) produces a descending sequence and
+    F.slice throws at runtime on short/empty docs.
+    """
     joined = F.transform(
         F.sequence(F.lit(0), F.size(tokens_col) - n),
         lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
     )
-    return F.array_distinct(joined)
+    return F.when(F.size(tokens_col) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_hash60(col) -> F.Column:
@@ -77,7 +84,6 @@ def ngram_jaccard_pairs(
     pair intersection counts; union sizes from per-doc shingle counts.
     """
     sh = doc_shingles(docs_tokens, "tokens", n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # drop degenerate ultra-common shingles (skew guard)
     sh_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     sh = sh.join(
@@ -85,6 +91,9 @@ def ngram_jaccard_pairs(
         "shingle",
         "left_anti",
     )
+    # sizes from the FILTERED shingle set: jaccard is then exact over
+    # the retained shingle space (denominator matches the intersection)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -36,6 +36,23 @@ def assign_dense_ids(
     Returns a *persisted* DataFrame — the caller should unpersist after
     materializing downstream outputs.
     """
+    out, _ = assign_dense_ids_with_counts(
+        df, order_col, id_col, start, num_partitions
+    )
+    return out
+
+
+def assign_dense_ids_with_counts(
+    df: DataFrame,
+    order_col: str = "url",
+    id_col: str = "doc_id",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[int, int]]:
+    """Like :func:`assign_dense_ids` but also returns the per-physical-
+    partition row counts ({partition_id: rows}) that the assignment
+    already had to collect — callers (segment lineage, manifest doc
+    counts) reuse them instead of running a second counting job."""
     if num_partitions:
         ordered = df.repartitionByRange(num_partitions, order_col)
     else:
@@ -57,6 +74,7 @@ def assign_dense_ids(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )[F.col("_pid")]
     w = Window.partitionBy("_pid").orderBy(order_col)
-    return ordered.withColumn(
+    out = ordered.withColumn(
         id_col, (offset_col + F.row_number().over(w) - F.lit(1)).cast("long")
     ).drop("_pid")
+    return out, counts

@@ -9,8 +9,13 @@ with an index root directory:
     <root>/seg_NNNNN/blocks/      compressed block rows (mode="blocks")
     <root>/seg_NNNNN/dictionary/  (term, df, cf)
     <root>/seg_NNNNN/doc_stats/   (doc_id, dl)
-    <root>/seg_NNNNN/docs/        (doc_id, url, warc_ts, lang, text)
-    <root>/seg_NNNNN/doc_positions/ (doc_id, field_id, positions)
+    <root>/seg_NNNNN/docs/        (doc_id, url, warc_ts, lang[, meta], text)
+
+Per-document position vectors (the reference's textpos file) live as
+sentinel rows (term="", tf=0, positions = flat off/len vector) inside
+the postings table under their own partition directory bucket=n_buckets
+— they fall out of the SAME tokenize pass as the postings and term
+queries never scan them (bucket pruning).
 
 Segments are the analog of the reference's posting-list continuation
 chains for incremental indexing (PersistentBuilder.cs:69-80, SURVEY.md
@@ -37,10 +42,12 @@ from pyspark.sql import functions as F
 
 from fulltextsearch_spark import MAX_TOKEN_SIZE
 from fulltextsearch_spark.operators import build as B
-from fulltextsearch_spark.sources.ids import assign_dense_ids
+from fulltextsearch_spark.sources.ids import assign_dense_ids_with_counts
 
 MANIFEST = "manifest.json"
 DEFAULT_BUCKETS = 8
+# modes whose query path reads compressed block rows
+BLOCK_MODES = ("blocks", "groupvarint")
 
 
 def term_bucket(col, n_buckets: int):
@@ -92,12 +99,30 @@ def build_index(
     input_desc: str = "<inline>",
     keep_text: bool = True,
     keep_positions: bool = True,
+    batch_key: str | None = None,
+    preassigned_ids: bool = False,
 ) -> dict:
     """Append one index segment built from ``pages``; returns the manifest.
 
     Re-runnable: if a previous run died mid-segment, the orphan segment
     directory is simply overwritten (it was never committed to the
     manifest). This is the resumable-DAG commit protocol (north_rule).
+
+    ``batch_key`` makes the commit idempotent for at-least-once callers
+    (streaming foreachBatch): if a committed segment already carries the
+    same key, the call is a no-op — redelivered micro-batches cannot
+    append duplicate documents.
+
+    ``preassigned_ids=True`` skips dense-id assignment and indexes the
+    input's existing ``doc_id`` column (ids must be positive and unique;
+    density is not required).
+
+    Driver-action budget (scaling efficiency): one id job, one staged
+    postings write (THE tokenize pass — doc positions ride along as
+    sentinel rows), one blocks write (blocks mode), dictionary /
+    doc_stats / docs writes over the committed postings, and one
+    aggregate over the tiny written dictionary. No second tokenize pass,
+    no extra counting jobs.
     """
     t0 = time.time()
     os.makedirs(root, exist_ok=True)
@@ -107,6 +132,9 @@ def build_index(
             "engine": "fulltextsearch_spark",
             "mode": mode,
             "n_buckets": n_buckets,
+            # doc-position vectors live as sentinel rows (term="") in
+            # the postings table's extra bucket — one tokenize pass
+            "dp_sentinel": True,
         },
         "tokenizer": {"max_token_size": MAX_TOKEN_SIZE},
         "next_doc_id": 1,
@@ -116,19 +144,61 @@ def build_index(
         raise ValueError(
             f"index at {root} was built with mode={manifest['type']['mode']!r}"
         )
+    if batch_key is not None and any(
+        s.get("batch_key") == batch_key
+        for s in manifest["segments"]
+        if s["committed"]
+    ):
+        return manifest  # idempotent: this batch is already committed
     seg_id = 1 + max((s["id"] for s in manifest["segments"]), default=0)
     seg_name = f"seg_{seg_id:05d}"
     seg_path = os.path.join(root, seg_name)
     start_id = manifest["next_doc_id"]
 
-    with_ids = assign_dense_ids(pages, "url", "doc_id", start=start_id)
+    # prune to the columns the index actually stores BEFORE any shuffle:
+    # at web scale `html` dwarfs everything else and must not ride
+    # through the id-assignment exchange
+    meta_cols = [c for c in ("url", "warc_ts", "lang", "meta") if c in pages.columns]
+    if preassigned_ids:
+        with_ids = pages.select("doc_id", *meta_cols, "text").persist()
+        part_rows = [
+            {"pid": r["_p"], "rows": r["n"], "min_doc": r["lo"], "max_doc": r["hi"]}
+            for r in with_ids.groupBy(F.spark_partition_id().alias("_p"))
+            .agg(
+                F.count("*").alias("n"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            )
+            .collect()
+        ]
+        n_docs = sum(p["rows"] for p in part_rows)
+        id_lo = min((p["min_doc"] for p in part_rows), default=start_id)
+        id_hi = max((p["max_doc"] for p in part_rows), default=start_id - 1)
+        order_col = "doc_id (preassigned)"
+    else:
+        with_ids, counts = assign_dense_ids_with_counts(
+            pages.select(*meta_cols, "text"), "url", "doc_id", start=start_id
+        )
+        part_rows = [
+            {"pid": pid, "rows": n} for pid, n in sorted(counts.items())
+        ]
+        n_docs = sum(counts.values())
+        id_lo, id_hi = start_id, start_id + n_docs - 1
+        order_col = "url"
+
     # posting rows assembled per doc inside the tokenize pass — no
-    # groupBy shuffle (tokenize_postings docstring); the doc-positions
-    # table, when kept, is its own narrow tokenize pass
-    postings = B.tokenize_postings(with_ids).withColumn(
-        "bucket", term_bucket(F.col("term"), n_buckets)
+    # groupBy shuffle (tokenize_postings docstring); doc-position
+    # sentinel rows (term="") land in their own bucket = n_buckets so
+    # term-bucket pruning never reads them
+    postings = B.tokenize_postings(
+        with_ids, emit_doc_positions=keep_positions
+    ).withColumn(
+        "bucket",
+        F.when(F.col("term") == B.DP_TERM, F.lit(n_buckets)).otherwise(
+            term_bucket(F.col("term"), n_buckets)
+        ),
     )
-    # range-repartition + in-partition sort by (bucket, term, doc_id):
+    # hash-repartition + in-partition sort by (bucket, term, doc_id):
     # the partitionBy writer's required ordering is already satisfied
     # (no per-task re-sort of array rows), write parallelism stays at
     # shuffle-partition width even with few buckets, and files get
@@ -138,61 +208,57 @@ def build_index(
     ).parquet(os.path.join(seg_path, "postings"))
     # everything downstream derives from the committed postings — one
     # tokenize pass total (the reference tokenizes once too, §3.1)
-    postings_committed = spark.read.parquet(os.path.join(seg_path, "postings"))
-    if mode == "blocks":
-        blocks = B.build_blocks(postings_committed.drop("bucket")).withColumn(
+    staged = spark.read.parquet(os.path.join(seg_path, "postings"))
+    postings_committed = staged.where(F.col("bucket") < n_buckets)
+    if mode in BLOCK_MODES:
+        blocks = B.build_blocks(
+            postings_committed.drop("bucket"), codec=mode
+        ).withColumn(
             "bucket", term_bucket(F.col("term"), n_buckets)
         )
         _sorted_bucketed(blocks, "doc_grp", "block_no").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(os.path.join(seg_path, "blocks"))
-    dictionary = B.build_dictionary(postings_committed)
-    dictionary.write.mode("overwrite").parquet(os.path.join(seg_path, "dictionary"))
+    dict_path = os.path.join(seg_path, "dictionary")
+    B.build_dictionary(postings_committed).write.mode("overwrite").parquet(dict_path)
     B.doc_stats_from_postings(postings_committed).write.mode("overwrite").parquet(
         os.path.join(seg_path, "doc_stats")
     )
-    if keep_positions:
-        B.build_doc_positions(B.tokenize_pages(with_ids)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(seg_path, "doc_positions"))
-    docs_cols = ["doc_id", "url", "warc_ts", "lang"] + (["text"] if keep_text else [])
+    docs_cols = ["doc_id", *meta_cols] + (["text"] if keep_text else [])
     with_ids.select(*docs_cols).write.mode("overwrite").parquet(
         os.path.join(seg_path, "docs")
     )
-
-    part_rows = [
-        {"pid": r["_p"], "rows": r["n"]}
-        for r in with_ids.groupBy(F.spark_partition_id().alias("_p"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    ]
-    n_docs = sum(p["rows"] for p in part_rows)
-    stats = dictionary.agg(
-        F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
-    ).collect()[0]
+    # collection stats from the tiny WRITTEN dictionary (one row per
+    # term) — not a recomputation of the full postings aggregation
+    stats = (
+        spark.read.parquet(dict_path)
+        .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"))
+        .collect()[0]
+    )
     with_ids.unpersist()
 
-    manifest["segments"].append(
-        {
-            "id": seg_id,
-            "path": seg_name,
-            "n_docs": n_docs,
-            "doc_id_range": [start_id, start_id + n_docs - 1],
-            "lineage": {
-                "input": input_desc,
-                "order_col": "url",
-                "row_count": n_docs,
-                "partitions": sorted(part_rows, key=lambda p: p["pid"]),
-            },
-            "metrics": {
-                "n_terms": stats["n_terms"],
-                "n_postings": int(stats["n_postings"] or 0),
-                "build_sec": round(time.time() - t0, 3),
-            },
-            "committed": True,
-        }
-    )
-    manifest["next_doc_id"] = start_id + n_docs
+    segment = {
+        "id": seg_id,
+        "path": seg_name,
+        "n_docs": n_docs,
+        "doc_id_range": [id_lo, id_hi],
+        "lineage": {
+            "input": input_desc,
+            "order_col": order_col,
+            "row_count": n_docs,
+            "partitions": part_rows,
+        },
+        "metrics": {
+            "n_terms": stats["n_terms"],
+            "n_postings": int(stats["n_postings"] or 0),
+            "build_sec": round(time.time() - t0, 3),
+        },
+        "committed": True,
+    }
+    if batch_key is not None:
+        segment["batch_key"] = batch_key
+    manifest["segments"].append(segment)
+    manifest["next_doc_id"] = max(manifest["next_doc_id"], id_hi + 1)
     _write_manifest(root, manifest)
     return manifest
 
@@ -218,12 +284,16 @@ def compact_index(spark: SparkSession, root: str) -> dict:
     t0 = time.time()
 
     postings = idx._union("postings")
+    # sentinel doc-position rows (bucket == n_buckets) travel with the
+    # postings union unchanged — no separate doc_positions table
     _sorted_bucketed(postings, "doc_id").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(os.path.join(seg_path, "postings"))
-    merged = spark.read.parquet(os.path.join(seg_path, "postings"))
-    if idx.mode == "blocks":
-        blocks = B.build_blocks(merged.drop("bucket")).withColumn(
+    merged = spark.read.parquet(os.path.join(seg_path, "postings")).where(
+        F.col("bucket") < idx.n_buckets
+    )
+    if idx.mode in BLOCK_MODES:
+        blocks = B.build_blocks(merged.drop("bucket"), codec=idx.mode).withColumn(
             "bucket", term_bucket(F.col("term"), idx.n_buckets)
         )
         _sorted_bucketed(blocks, "doc_grp", "block_no").write.mode(
@@ -236,12 +306,13 @@ def compact_index(spark: SparkSession, root: str) -> dict:
         os.path.join(seg_path, "doc_stats")
     )
     idx.docs().write.mode("overwrite").parquet(os.path.join(seg_path, "docs"))
-    try:
-        idx.doc_positions().write.mode("overwrite").parquet(
-            os.path.join(seg_path, "doc_positions")
-        )
-    except Exception:
-        pass  # positions were not kept at build time
+    if not manifest["type"].get("dp_sentinel"):
+        try:  # legacy layout: positions in their own table
+            idx.doc_positions().write.mode("overwrite").parquet(
+                os.path.join(seg_path, "doc_positions")
+            )
+        except Exception:
+            pass  # positions were not kept at build time
 
     n_docs = sum(s["n_docs"] for s in old)
     stats = (
@@ -342,7 +413,13 @@ class Index:
         return self._union("docs")
 
     def doc_positions(self) -> DataFrame:
-        return self._union("doc_positions")
+        if self.manifest["type"].get("dp_sentinel"):
+            return (
+                self._union("postings")
+                .where(F.col("bucket") == self.n_buckets)
+                .select("doc_id", "field_id", "positions")
+            )
+        return self._union("doc_positions")  # legacy layout
 
     def collection_stats(self) -> tuple[int, float]:
         if self._collection_stats is None:
@@ -369,25 +446,33 @@ class Index:
         ``last_doc`` skip column before any payload decode, then seeks
         within surviving blocks.
         """
-        table = "blocks" if self.mode == "blocks" else "postings"
+        in_blocks = self.mode in BLOCK_MODES
+        table = "blocks" if in_blocks else "postings"
         df = self._union(table)
         if exact_terms is not None:
             df = df.where(F.col("bucket").isin(self._buckets_of(exact_terms)))
             df = df.where(F.col("term").isin(exact_terms))
-        elif term_pred is not None:
-            df = df.where(term_pred)
-        if self.mode == "blocks":
+        else:
+            if not in_blocks and self.manifest["type"].get("dp_sentinel"):
+                # exclude the doc-position sentinel partition from
+                # pattern scans (partition-pruned directory filter)
+                df = df.where(F.col("bucket") < self.n_buckets)
+            if term_pred is not None:
+                df = df.where(term_pred)
+        if in_blocks:
             if min_doc is not None:
                 df = df.where(F.col("last_doc") >= min_doc)
-            df = B.decode_blocks(df.select("term", "payload"), min_doc=min_doc)
+            df = B.decode_blocks(
+                df.select("term", "payload"), min_doc=min_doc, codec=self.mode
+            )
         elif min_doc is not None:
             df = df.where(F.col("doc_id") >= min_doc)
         return df.select("term", "doc_id", "field_id", "positions", "tf")
 
     def blocks(self, exact_terms: list[str] | None = None) -> DataFrame:
         """Raw block rows (blocks mode) for block-max pruning paths."""
-        if self.mode != "blocks":
-            raise ValueError("index not in blocks mode")
+        if self.mode not in BLOCK_MODES:
+            raise ValueError("index not in a blocks mode")
         df = self._union("blocks")
         if exact_terms is not None:
             df = df.where(F.col("bucket").isin(self._buckets_of(exact_terms))).where(

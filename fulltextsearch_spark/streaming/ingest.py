@@ -6,8 +6,11 @@ posting-list continuation chains (PersistentBuilder.cs:69-80, SURVEY.md
 directory, `foreachBatch` committing one index segment per micro-batch
 through the exact same batch builder — so streaming and batch builds
 produce identical index semantics, and the manifest stays the single
-commit log (checkpointing makes redelivery safe: an uncommitted crashed
-batch is rebuilt, a committed one is skipped by Spark's checkpoint).
+commit log. foreachBatch is at-least-once, so the sink itself must be
+idempotent: each commit carries a (pages_dir, batch_id) batch_key and
+`build_index` no-ops when a committed segment with that key already
+exists — a crash between manifest commit and Spark checkpoint cannot
+duplicate documents on redelivery.
 
 At scale this is the continuous-crawl ingestion path: watermarking/
 dedup-by-url can be layered with `withWatermark("warc_ts", ...)` +
@@ -52,6 +55,7 @@ def stream_pages_to_index(
             index_root,
             mode=mode,
             input_desc=f"stream batch {batch_id} from {pages_dir}",
+            batch_key=f"{pages_dir}#batch={batch_id}",
         )
 
     return (
