@@ -25,11 +25,11 @@ from fulltextsearch_spark.functions.tokenizer import tokenize_udf, tokenize_term
 from fulltextsearch_spark.operators import dedup as DD
 from fulltextsearch_spark.operators import similarity as SIM
 from fulltextsearch_spark.sources.ids import assign_dense_ids
-from fulltextsearch_spark.sources.memory_index import MemoryIndex
+from fulltextsearch_spark.sources.index_io import Index, build_index
 from fulltextsearch_spark.sources.pages import documents_as_pages
 
 _TOKEN_RE = "[a-z0-9_-]+"
-_IDX_CACHE: dict[str, MemoryIndex] = {}
+_IDX_CACHE: dict[str, Index] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,11 +40,23 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _index(spark: SparkSession, sf_dir: str) -> MemoryIndex:
+def _index(spark: SparkSession, sf_dir: str) -> Index:
+    """Persistent blocks-mode index over the sf documents table — the
+    shipping path (codec decode, bucket pruning, segment union), built
+    once per sf_dir with the table's own doc ids."""
     if sf_dir not in _IDX_CACHE:
-        _IDX_CACHE[sf_dir] = MemoryIndex.from_docs_table(
-            spark, _docs(spark, sf_dir).select("doc_id", "text")
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="fts_entry_idx_")
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            root,
+            mode="blocks",
+            input_desc=f"documents table at {sf_dir}",
+            preassigned_ids=True,
         )
+        _IDX_CACHE[sf_dir] = Index.open(spark, root)
     return _IDX_CACHE[sf_dir]
 
 

@@ -83,11 +83,51 @@ def term_predicate(node: AstQuery) -> Column:
     raise TypeError(f"not a terminal: {node!r}")
 
 
+# WILD/EDIT expansions larger than this fall back to a predicate scan
+# of the postings (a pattern matching this many distinct terms is a
+# near-full dictionary scan anyway, and a multi-thousand-term isin/
+# bucket list stops helping the planner).
+MAX_EXPANSIONS = 4096
+
+POSTING_SCHEMA = (
+    "term string, doc_id long, field_id int, positions array<int>, tf int"
+)
+
+
+def expand_terms(index, node: AstQuery) -> list[str] | None:
+    """Dictionary-first pattern expansion (D4/D5): filter the cached,
+    broadcast-sized dictionary and collect the matching term list on the
+    driver — the Spark analog of the reference's DFA-guided dictionary
+    traversal (Collections/TernaryDictionary.cs:182-250, FST.cs:1004-
+    1061), whose whole point is to never touch postings of non-matching
+    terms. Returns None when the expansion exceeds MAX_EXPANSIONS."""
+    rows = (
+        index.dictionary()
+        .where(term_predicate(node))
+        .select("term")
+        .limit(MAX_EXPANSIONS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_EXPANSIONS:
+        return None
+    return sorted(r["term"] for r in rows)
+
+
 def expanded_postings(index, node: AstQuery) -> DataFrame:
-    """Posting rows for a terminal node — bucket-pruned for exact terms."""
+    """Posting rows for a terminal node — bucket-pruned for exact terms.
+
+    WILD/EDIT expand against the dictionary FIRST, then take the same
+    bucket-pruned exact-terms path as WORD — postings/blocks of
+    non-matching terms are never scanned (parquet partition pruning on
+    `bucket` + term min/max row-group stats)."""
     if isinstance(node, WordAst):
         return index.postings(exact_terms=[node.value])
-    return index.postings(term_pred=term_predicate(node))
+    terms = expand_terms(index, node)
+    if terms is None:  # pathological expansion — predicate scan fallback
+        return index.postings(term_pred=term_predicate(node))
+    if not terms:
+        return index.spark.createDataFrame([], POSTING_SCHEMA)
+    return index.postings(exact_terms=terms)
 
 
 def _occurrences(index, node: AstQuery) -> DataFrame:

@@ -35,7 +35,7 @@ class MemoryIndex:
         return cls(
             spark,
             postings,
-            B.build_dictionary(postings),
+            B.build_dictionary(postings).persist(StorageLevel.MEMORY_AND_DISK),
             B.doc_stats_from_postings(postings).persist(StorageLevel.MEMORY_AND_DISK),
             with_ids.select("doc_id", "url", "warc_ts", "lang", "text"),
         )
@@ -49,7 +49,7 @@ class MemoryIndex:
         return cls(
             spark,
             postings,
-            B.build_dictionary(postings),
+            B.build_dictionary(postings).persist(StorageLevel.MEMORY_AND_DISK),
             B.doc_stats_from_postings(postings).persist(StorageLevel.MEMORY_AND_DISK),
             docs,
         )
@@ -79,6 +79,7 @@ class MemoryIndex:
 
     def unpersist(self) -> None:
         self._postings.unpersist()
+        self._dictionary.unpersist()
         self._doc_stats.unpersist()
 
     def search(self, query: str) -> DataFrame:

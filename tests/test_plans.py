@@ -55,3 +55,40 @@ def test_topk_is_take_ordered_not_global_sort(spark, pms_index_roots):
     idx = Index.open(spark, pms_index_roots["arrays"])
     plan = _plan(idx.rank("WORD(this)", 10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_wild_expands_via_dictionary_then_bucket_prunes(spark, pms_index_roots):
+    """Dictionary-first WILD: the posting scan carries a bucket
+    partition filter + an exact term IN-list — never a LIKE over the
+    full postings table (reference's DFA-guided dictionary traversal,
+    TernaryDictionary.cs:182-250)."""
+    from fulltextsearch_spark.plans.ast import WildAst
+    from fulltextsearch_spark.plans.planner import expand_terms, expanded_postings
+
+    for mode in ("arrays", "blocks"):
+        idx = Index.open(spark, pms_index_roots[mode])
+        node = WildAst("pet*", "pet*")
+        assert expand_terms(idx, node) == ["petro", "petrol", "petrolium"]
+        df = expanded_postings(idx, node)
+        plan = _plan(df)
+        assert "PartitionFilters" in plan and "bucket" in plan
+        pushed = plan.split("PushedFilters")[1][:300]
+        assert "In(term" in pushed or "EqualTo(term" in pushed
+        assert "LIKE" not in plan.upper().replace("UNLIKELY", "")
+
+
+def test_edit_expands_via_dictionary(spark, pms_index_roots):
+    from fulltextsearch_spark.plans.ast import EditAst
+    from fulltextsearch_spark.plans.planner import expand_terms
+
+    idx = Index.open(spark, pms_index_roots["blocks"])
+    # distance-1 neighbors of 'tests' in the golden corpus: test, tests
+    assert expand_terms(idx, EditAst("tests", "tests", 1)) == [
+        "test",
+        "tests",
+    ]
+
+
+def test_wild_zero_expansion_is_null_query(spark, pms_index_roots):
+    idx = Index.open(spark, pms_index_roots["blocks"])
+    assert idx.search("WILD(zz*)").count() == 0
