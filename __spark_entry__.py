@@ -209,9 +209,10 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash per doc (xxhash64-based — no SQL oracle)."""
+    """60-bit SimHash per doc (md5-derived token hashes — bit-exact
+    DuckDB oracle)."""
     tok = _tokens(spark, sf_dir)
-    return DD.simhash64(tok)
+    return DD.simhash60(tok)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -229,14 +230,16 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN (approximate — rows-only check)."""
+    """Multi-probe sign-LSH bucketed ANN top-5. The hyperplanes are
+    deterministic constants, so the DuckDB oracle reproduces the exact
+    bucket assignment + probing + ranking."""
     emb = _embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    out = SIM.cosine_topk_lsh(emb, queries, k=5, n_planes=6, dim=64)
+    out = SIM.cosine_topk_lsh(emb, queries, k=5, n_planes=6, dim=64, multiprobe=1)
     return out.select(
         "q_id", "vec_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("long").alias("rank")
     )
@@ -400,6 +403,74 @@ SELECT doc_id,
 FROM feat
 """
 
+# --- simhash oracle: 60 tf-weighted bit votes over md5-derived token
+# hashes — mirrors operators/dedup.simhash60 bit-for-bit
+_SH_VOTES = ",\n    ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS v{b}"
+    for b in range(60)
+)
+_SH_SIG = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60)
+)
+_SIMHASH_ORACLE = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+h AS (
+  SELECT doc_id, tf,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+  FROM tf
+),
+votes AS (SELECT doc_id, {_SH_VOTES} FROM h GROUP BY doc_id)
+SELECT doc_id, ({_SH_SIG})::BIGINT AS simhash FROM votes
+"""
+
+
+def _ann_lsh_oracle() -> str:
+    """Multi-probe sign-LSH oracle: the deterministic hyperplanes are
+    inlined as literal DOUBLE arrays; bucket bit b = sign of the inner
+    product with plane b; candidates share the exact bucket or one at
+    Hamming distance 1 (mirrors similarity.cosine_topk_lsh(multiprobe=1,
+    n_planes=6, dim=64))."""
+    from fulltextsearch_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6)
+    masks = ",".join(str(1 << b) for b in range(6))
+
+    def bucket(vec: str) -> str:
+        terms = [
+            f"(CASE WHEN list_inner_product({vec}, "
+            f"[{','.join(repr(x) for x in p)}]) > 0 THEN {1 << b} ELSE 0 END)"
+            for b, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+                 {bucket("embedding::DOUBLE[]")} AS qb
+          FROM embeddings WHERE vec_id < 5
+        ),
+        v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev,
+                 {bucket("embedding::DOUBLE[]")} AS vb
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q_id, vec_id, list_cosine_similarity(qv, ev) AS cos
+          FROM q JOIN v
+            ON (vb = qb OR xor(vb::BIGINT, qb::BIGINT) IN ({masks}))
+           AND vec_id != q_id
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, round(cos, 6) AS cos, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
 _LANG_CASE = """
 WITH lang_scores AS (
   SELECT doc_id,
@@ -544,6 +615,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, round(cos, 6) AS cos, rank::BIGINT AS rank
             FROM ranked WHERE rank <= 5
         """,
+        "simhash": _SIMHASH_ORACLE,
+        "ann_lsh": _ann_lsh_oracle(),
         "lang_id": _LANG_CASE,
         "quality": _QUALITY_ORACLE,
         "token_counts": f"""

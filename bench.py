@@ -101,6 +101,13 @@ def main() -> None:
             t0 = time.time()
             idx.rank(q, 10).collect()
             timings[name] = round(time.time() - t0, 3)
+        # block-max WAND prune ratio on a skewed (hot+rare) query
+        from fulltextsearch_spark.operators.bm25 import rank_terms_wand
+
+        wand_stats: dict = {}
+        t0 = time.time()
+        rank_terms_wand(idx, ["t0", "t500", "zmarkerz"], 10, stats=wand_stats).collect()
+        timings["q_bm25_wand_skew"] = round(time.time() - t0, 3)
 
         # breadth: pipeline ops over the driver documents table
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -127,6 +134,8 @@ def main() -> None:
                     "n_docs": n_docs,
                     "index_docs_per_sec": docs_per_sec,
                     "cpus": cpus,
+                    "wand_blocks_total": wand_stats.get("n_blocks"),
+                    "wand_blocks_decoded": wand_stats.get("n_blocks_decoded"),
                 }
             )
         )

@@ -116,15 +116,62 @@ def score_node(index, node: AstQuery, n_docs: int, avgdl: float) -> DataFrame:
     raise TypeError(f"unknown AST node {node!r}")
 
 
+def _flat_word_terms(ast: AstQuery) -> list[str] | None:
+    """Distinct term list when the AST is WORD or OR-of-WORDs — the
+    shapes block-max WAND can serve. Duplicated terms disqualify: OR is
+    duplicate-preserving, so a doubled child doubles its score
+    contribution, which the per-term WAND aggregation would collapse."""
+    if isinstance(ast, WordAst):
+        return [ast.value]
+    if isinstance(ast, FuncAst) and ast.name == "OR" and ast.args:
+        terms = []
+        for a in ast.args:
+            if not isinstance(a, WordAst):
+                return None
+            terms.append(a.value)
+        return terms if len(set(terms)) == len(terms) else None
+    return None
+
+
+def _wand_eligible(index, terms: list[str] | None) -> bool:
+    """WAND needs a blocks-mode index (max_tf metadata) and a
+    single-field corpus: with >1 field a doc's occurrences can split
+    across blocks, making the per-block max_tf bound score-unsafe."""
+    from fulltextsearch_spark.sources.index_io import BLOCK_MODES
+
+    return (
+        terms is not None
+        and getattr(index, "mode", None) in BLOCK_MODES
+        and index.manifest["type"].get("n_fields", 1) == 1
+    )
+
+
 def rank_query(index, query: str, k: int = 10) -> DataFrame:
-    """Deterministic BM25 top-k: (doc_id, score)."""
+    """Deterministic BM25 top-k: (doc_id, score).
+
+    Flat term queries (WORD / OR-of-distinct-WORDs) on a single-field
+    blocks-mode index route through block-max WAND pruning
+    (`rank_terms_wand`); everything else takes the exhaustive scorer.
+    Both paths are rank-identical (test_wand.py)."""
+    ast = parser.parse(query)
+    terms = _flat_word_terms(ast)
+    if _wand_eligible(index, terms):
+        return rank_terms_wand(index, terms, k)
+    return rank_query_exhaustive(index, query, k)
+
+
+def rank_query_exhaustive(index, query: str, k: int = 10) -> DataFrame:
+    """The exhaustive scorer (no block-max pruning) — WAND's
+    rank-identity reference, and the path for non-flat ASTs."""
     ast = parser.parse(query)
     n_docs, avgdl = index.collection_stats()
     scores = score_node(index, ast, n_docs, avgdl)
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def rank_terms_wand(index, terms: list[str], k: int = 10) -> DataFrame:
+def rank_terms_wand(
+    index, terms: list[str], k: int = 10, stats: dict | None = None
+) -> DataFrame:
     """Block-max WAND top-k over a term set (blocks mode) — score-safe.
 
     Per-block score upper bound: ub = idf(term) · tfn(max_tf, dl→0)
@@ -141,12 +188,23 @@ def rank_terms_wand(index, terms: list[str], k: int = 10) -> DataFrame:
        top-k doc ever loses a contribution. Decode survivors, score
        exactly, take top-k.
 
-    Verified rank-identical to the exhaustive `rank_query` path in
-    tests (test_wand.py). Multi-field caveat: the per-block bound is
-    per (doc, field); with multiple fields a doc's contributions could
-    split across blocks, so the bound is multiplied by the observed
-    field count (1 for the web-pages corpus).
+    Verified rank-identical to the exhaustive scorer in tests
+    (test_wand.py). SINGLE-FIELD ONLY: with multiple fields a doc's
+    occurrences of a term can split across blocks, so the per-block
+    max_tf upper bound would undercount the doc's total tf and pruning
+    would no longer be score-safe — multi-field indexes raise and must
+    use the exhaustive path (rank_query routes this automatically).
+
+    ``stats``, when given, receives {"n_blocks": total candidate blocks,
+    "n_blocks_decoded": blocks that survived pruning} for prune-ratio
+    reporting.
     """
+    manifest = getattr(index, "manifest", None)
+    if manifest is not None and manifest["type"].get("n_fields", 1) != 1:
+        raise ValueError(
+            "block-max WAND requires a single-field index (per-block "
+            "max_tf bound is unsafe when a doc's tf splits across fields)"
+        )
     n_docs, avgdl = index.collection_stats()
     dictionary = index.dictionary().where(F.col("term").isin(terms))
     blocks = index.blocks(exact_terms=terms).join(F.broadcast(dictionary), "term")
@@ -188,6 +246,10 @@ def rank_terms_wand(index, terms: list[str], k: int = 10) -> DataFrame:
         )
         if len(seed_scores) < k:
             survivors = blocks  # not enough candidates to prune safely
+            if stats is not None:
+                n_all = blocks.count()
+                stats["n_blocks"] = n_all
+                stats["n_blocks_decoded"] = n_all
         else:
             theta = seed_scores[-1]["score"]
             total_ubmax = sum(ubmax.values())
@@ -199,6 +261,9 @@ def rank_terms_wand(index, terms: list[str], k: int = 10) -> DataFrame:
                 F.lit(0.0),
             ))
             survivors = blocks.where(F.col("ub") >= residual)
+            if stats is not None:
+                stats["n_blocks"] = blocks.count()
+                stats["n_blocks_decoded"] = survivors.count()
         return (
             exact_scores(survivors)
             .orderBy(F.desc("score"), F.asc("doc_id"))

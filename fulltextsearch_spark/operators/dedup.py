@@ -190,26 +190,30 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash64(docs_tokens: DataFrame) -> DataFrame:
-    """64-bit SimHash over tokens (tf-weighted bit votes).
+SIMHASH_BITS = 60  # 15 hex chars of md5 — oracle-reproducible in SQL
 
-    Built-ins only: per-token 64-bit hash (xxhash64), explode, for each
-    bit position sum +tf/-tf, sign → bit. The 64 bit-sums are one
-    aggregation (no per-row Python).
+
+def simhash60(docs_tokens: DataFrame) -> DataFrame:
+    """60-bit SimHash over tokens (tf-weighted bit votes).
+
+    Built-ins only: per-token 60-bit md5-derived hash (same derivation
+    as shingle_hash60, so a DuckDB oracle reproduces the signatures
+    bit-for-bit), explode, for each bit position sum +tf/-tf, sign →
+    bit. The 60 bit-sums are one aggregation (no per-row Python).
     """
     tok = docs_tokens.select("doc_id", F.explode("tokens").alias("t"))
     tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
-    h = tf.withColumn("h", F.xxhash64("t"))
+    h = tf.withColumn("h", shingle_hash60(F.col("t")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
             .otherwise(-F.col("tf"))
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     agg = h.groupBy("doc_id").agg(*votes)
     sig = None
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -219,7 +223,7 @@ def simhash64(docs_tokens: DataFrame) -> DataFrame:
 
 
 def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded on 16-bit
+    """Near-dup pairs by SimHash hamming distance, banded on 15-bit
     chunks (a pair within distance 3 shares ≥1 of 4 exact chunks)."""
     chunks = simhashes.select(
         "doc_id",
@@ -229,8 +233,8 @@ def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("key"),
                     )
                     for i in range(4)

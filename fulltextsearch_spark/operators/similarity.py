@@ -104,17 +104,32 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's LSH bucket.
+    """Approximate top-k: compare only within the query's LSH bucket(s).
 
-    The scale path — candidate set per query ≈ N / 2^n_planes. Recall
-    is tunable via n_planes (fewer planes = bigger buckets = higher
-    recall); multi-probe extensions slot in here later.
+    The scale path — candidate set per query ≈ N / 2^n_planes. Recall is
+    tunable two ways: fewer planes (bigger buckets), or ``multiprobe=1``
+    which also probes the n_planes neighbor buckets at Hamming distance
+    1 from the query's bucket (flip each hyperplane sign once) — the
+    classic multi-probe LSH trade: ×(n_planes+1) candidates for a large
+    recall gain, still never an all-pairs comparison. Probing explodes
+    the (tiny, broadcast) query side only; each vector has one bucket so
+    a candidate pair appears at most once (no dedup needed).
     """
     planes = _hyperplanes(dim, n_planes)
     v = vectors.withColumn("_bucket", sign_lsh_bucket(F.col(vec_col), planes))
     q = queries.select(q_id_col, F.col(vec_col).alias("_qv")).withColumn(
-        "_bucket", sign_lsh_bucket(F.col("_qv"), planes)
+        "_b0", sign_lsh_bucket(F.col("_qv"), planes)
+    )
+    if multiprobe >= 1:
+        probes = [F.col("_b0")] + [
+            F.col("_b0").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ]
+    else:
+        probes = [F.col("_b0")]
+    q = q.select(
+        q_id_col, "_qv", F.explode(F.array(*probes)).alias("_bucket")
     )
     joined = v.join(F.broadcast(q), "_bucket").where(
         F.col(id_col) != F.col(q_id_col)

@@ -132,6 +132,9 @@ def build_index(
             "engine": "fulltextsearch_spark",
             "mode": mode,
             "n_buckets": n_buckets,
+            # build_index tokenizes one text column => single-field;
+            # WAND block-max pruning relies on this (operators/bm25.py)
+            "n_fields": 1,
             # doc-position vectors live as sentinel rows (term="") in
             # the postings table's extra bucket — one tokenize pass
             "dp_sentinel": True,

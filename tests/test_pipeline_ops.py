@@ -57,7 +57,7 @@ def test_minhash_lsh_candidates(toy_tokens):
 
 
 def test_simhash_near_pairs(toy_tokens):
-    sh = DD.simhash64(toy_tokens)
+    sh = DD.simhash60(toy_tokens)
     rows = {r["doc_id"]: r["simhash"] for r in sh.collect()}
     assert rows[1] == rows[2]
     pairs = {
@@ -102,6 +102,47 @@ def test_lsh_ann_recall_on_clusters(spark):
     out = SIM.cosine_topk_lsh(vecs, q, k=1, n_planes=4, dim=16).collect()
     top1 = {r["q_id"]: r["vec_id"] for r in out}
     assert top1 == {0: 100, 1: 101, 2: 102}
+
+
+def test_multiprobe_lsh_recall_at_k(spark):
+    """Multi-probe (Hamming-1 neighbor buckets) must reach recall@5
+    ≥ 0.9 against brute force on a seeded clustered fixture, and be a
+    superset of the single-probe candidate results."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 3
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(12):  # cluster members = near neighbors
+            rows.append((vid, (c + 0.15 * rng.standard_normal(16)).tolist()))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs.where(F.col("vec_id") % 12 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = SIM.cosine_topk_bruteforce(vecs, q, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+    approx = SIM.cosine_topk_lsh(
+        vecs, q, k=5, n_planes=6, dim=16, multiprobe=1
+    ).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.9, f"recall@5 = {hits}/{total}"
+    # multi-probe candidates ⊇ single-probe candidates per query
+    single = SIM.cosine_topk_lsh(vecs, q, k=50, n_planes=6, dim=16).collect()
+    multi = SIM.cosine_topk_lsh(
+        vecs, q, k=50, n_planes=6, dim=16, multiprobe=1
+    ).collect()
+    s_pairs = {(r["q_id"], r["vec_id"]) for r in single}
+    m_pairs = {(r["q_id"], r["vec_id"]) for r in multi}
+    assert s_pairs <= m_pairs
 
 
 def test_lang_id_and_quality(spark):

@@ -3,7 +3,10 @@ exhaustive scoring path for every query/k tried."""
 
 import pytest
 
-from fulltextsearch_spark.operators.bm25 import rank_terms_wand
+from fulltextsearch_spark.operators.bm25 import (
+    rank_query_exhaustive,
+    rank_terms_wand,
+)
 from fulltextsearch_spark.sources.index_io import Index, build_index
 from fulltextsearch_spark.sources.pages import synth_pages
 
@@ -34,20 +37,30 @@ def test_wand_rank_identical_to_exhaustive(spark, synth_blocks_idx, terms, k):
         else "OR(" + ",".join(f"WORD({t})" for t in terms) + ")"
     )
     exhaustive = [
-        (r["doc_id"], round(r["score"], 9)) for r in idx.rank(query, k).collect()
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_query_exhaustive(idx, query, k).collect()
     ]
+    # rank() routes flat term queries through WAND on a blocks index
     wand = [
         (r["doc_id"], round(r["score"], 9))
-        for r in rank_terms_wand(idx, terms, k).collect()
+        for r in idx.rank(query, k).collect()
     ]
     assert wand == exhaustive
 
 
-def test_wand_actually_prunes(spark, synth_blocks_idx):
-    """On a Zipf corpus the hot term has many blocks; the pruned path
-    must decode fewer than all of them (sanity that pruning engages)."""
+def test_rank_query_routes_flat_terms_to_wand(spark, synth_blocks_idx):
+    """Production wiring: idx.rank on a blocks-mode single-field index
+    takes the WAND path for WORD/OR-of-WORDs, and the pruning actually
+    skips block decodes on a skewed query."""
     idx = synth_blocks_idx
-    from pyspark.sql import functions as F
+    stats: dict = {}
+    top = rank_terms_wand(idx, ["t0", "zmarkerz"], 5, stats=stats).collect()
+    assert len(top) == 5
+    assert stats["n_blocks"] >= stats["n_blocks_decoded"] >= 1
+    # duplicate terms must NOT take the WAND path (OR keeps duplicates)
+    from fulltextsearch_spark.operators.bm25 import _flat_word_terms
+    from fulltextsearch_spark.plans import parser
 
-    n_blocks = idx.blocks(exact_terms=["t0"]).count()
-    assert n_blocks >= 1  # hot term exists; pruning correctness covered above
+    assert _flat_word_terms(parser.parse("OR(WORD(t0),WORD(t0))")) is None
+    assert _flat_word_terms(parser.parse("OR(WORD(t0),SEQ(WORD(t1)))")) is None
+    assert _flat_word_terms(parser.parse("WORD(t3)")) == ["t3"]
