@@ -11,15 +11,26 @@ from pyspark.sql import functions as F
 def group_matches_with_docs(index, query: str) -> DataFrame:
     """Matches grouped by document, joined with url/text — the CLI's
     'Documents found' view. The docs join is a broadcast of the (small)
-    qualifying doc set against the docs table."""
+    qualifying doc set against the docs table.
+
+    When the index stores per-document metadata (the optional free-form
+    ``meta`` string column — reference IMetadataStorage,
+    IndexTypes/IMetadataStorage.cs:3-8, stored via
+    FullTextIndexBuilder.cs:33-41 and shown in results at
+    ConsoleUtil/Program.cs:240-295), it is surfaced next to the url."""
     matches = index.search(query)
     grouped = matches.groupBy("doc_id").agg(
         F.count("*").alias("n_matches"),
         F.collect_list("positions").alias("match_positions"),
     )
-    return grouped.join(index.docs(), "doc_id").select(
-        "doc_id", "url", "n_matches", "match_positions", "text"
-    ).orderBy("doc_id")
+    docs = index.docs()
+    cols = ["doc_id", "url"]
+    if "meta" in docs.columns:
+        cols.append("meta")
+    cols += ["n_matches", "match_positions"]
+    if "text" in docs.columns:
+        cols.append("text")
+    return grouped.join(docs, "doc_id").select(*cols).orderBy("doc_id")
 
 
 def annotate_text(text: str, token_offsets: list[tuple[int, int]]) -> str:

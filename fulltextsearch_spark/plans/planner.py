@@ -147,7 +147,21 @@ def _phrase(index, terms: list[str]) -> DataFrame:
     first leg's positions so p, p+1, ..., p+k-1 all exist — the
     leapfrog adjacency check vectorized over arrays (no occurrence
     explosion before the join; arrays stay JVM-side).
+
+    Join order is df-ascending (rarest leg first), read from the cached
+    dictionary — the intermediate join results shrink to the rarest
+    leg's doc set immediately, the same reason the reference's leapfrog
+    drives from the shortest posting list. A term missing from the
+    dictionary short-circuits to the empty match stream.
     """
+    df_map = {
+        r["term"]: r["df"]
+        for r in index.dictionary()
+        .where(F.col("term").isin(list(set(terms))))
+        .collect()
+    }
+    if any(t not in df_map for t in terms):
+        return _empty(index)
     legs = []
     for i, term in enumerate(terms):
         legs.append(
@@ -155,8 +169,9 @@ def _phrase(index, terms: list[str]) -> DataFrame:
                 "doc_id", "field_id", F.col("positions").alias(f"p{i}")
             )
         )
-    joined = legs[0]
-    for i in range(1, len(legs)):
+    order = sorted(range(len(terms)), key=lambda i: (df_map[terms[i]], i))
+    joined = legs[order[0]]
+    for i in order[1:]:
         joined = joined.join(legs[i], ["doc_id", "field_id"])
     def adjacent(i: int):
         # single-arg lambda: pyspark HOFs pass (elem, idx) to 2-arg ones

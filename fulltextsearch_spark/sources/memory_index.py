@@ -37,7 +37,14 @@ class MemoryIndex:
             postings,
             B.build_dictionary(postings).persist(StorageLevel.MEMORY_AND_DISK),
             B.doc_stats_from_postings(postings).persist(StorageLevel.MEMORY_AND_DISK),
-            with_ids.select("doc_id", "url", "warc_ts", "lang", "text"),
+            with_ids.select(
+                "doc_id",
+                *[
+                    c
+                    for c in ("url", "warc_ts", "lang", "meta", "text")
+                    if c in with_ids.columns
+                ],
+            ),
         )
 
     @classmethod
