@@ -124,14 +124,28 @@ def tokenize_postings(
     falls out of the SAME single tokenize pass instead of a second full
     pass over the corpus.
 
+    Implemented with mapInArrow, not mapInPandas: the positions column
+    is built as ONE pyarrow ListArray per batch from flat (offsets,
+    values) numpy arrays — zero per-row Python lists. The mapInPandas
+    version allocated ~one Python list per posting row (~millions per
+    100k docs), which dominated the stage cost and, being pure memory
+    allocation, scaled poorly across cores.
+
     Output: (term, doc_id, field_id, positions array<int>, tf int).
     """
+    import pyarrow as pa
+
     from fulltextsearch_spark.functions.tokenizer import tokenize_text
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_doc, out_term, out_positions, out_tf = [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+    def run(batches):
+        dp_term = np.array([DP_TERM], dtype=object)
+        zero_tf = np.zeros(1, dtype=np.int32)
+        for rb in batches:
+            doc_ids = rb.column(0).to_numpy()
+            texts = rb.column(1).to_pylist()
+            terms_parts, docs_parts = [], []
+            row_lens_parts, vals_parts, tf_parts = [], [], []
+            for doc_id, text in zip(doc_ids, texts):
                 if text is None:
                     continue
                 terms, offs, lens = tokenize_text(text)
@@ -142,10 +156,13 @@ def tokenize_postings(
                     flat = np.empty(2 * n, dtype=np.int32)
                     flat[0::2] = offs + 1
                     flat[1::2] = offs + 1 + lens
-                    out_doc.append(np.array([doc_id], dtype=np.int64))
-                    out_term.append(DP_TERM)
-                    out_positions.append(flat.tolist())
-                    out_tf.append(np.zeros(1, dtype=np.int32))
+                    terms_parts.append(dp_term)
+                    docs_parts.append(np.array([doc_id], dtype=np.int64))
+                    row_lens_parts.append(
+                        np.array([2 * n], dtype=np.int64)
+                    )
+                    vals_parts.append(flat)
+                    tf_parts.append(zero_tf)
                 arr = np.array(terms, dtype=object)
                 order = np.argsort(arr, kind="stable")
                 sorted_terms = arr[order]
@@ -155,26 +172,36 @@ def tokenize_postings(
                 bnd[1:] = sorted_terms[1:] != sorted_terms[:-1]
                 starts = np.nonzero(bnd)[0]
                 ends = np.append(starts[1:], n)
-                out_doc.append(np.full(len(starts), doc_id, dtype=np.int64))
-                out_term.extend(sorted_terms[starts])
-                out_positions.extend(
-                    pos_sorted[s:e].tolist() for s, e in zip(starts, ends)
-                )
-                out_tf.append((ends - starts).astype(np.int32))
-            if not out_term:
+                tf = (ends - starts).astype(np.int32)
+                terms_parts.append(sorted_terms[starts])
+                docs_parts.append(np.full(len(starts), doc_id, dtype=np.int64))
+                row_lens_parts.append(tf.astype(np.int64))
+                vals_parts.append(pos_sorted)
+                tf_parts.append(tf)
+            if not terms_parts:
                 continue
-            n_rows = len(out_term)
-            yield pd.DataFrame(
-                {
-                    "term": out_term,
-                    "doc_id": np.concatenate(out_doc),
-                    "field_id": np.full(n_rows, field_id, dtype=np.int32),
-                    "positions": out_positions,
-                    "tf": np.concatenate(out_tf),
-                }
+            docs_all = np.concatenate(docs_parts)
+            row_lens = np.concatenate(row_lens_parts)
+            offsets = np.zeros(len(row_lens) + 1, dtype=np.int64)
+            np.cumsum(row_lens, out=offsets[1:])
+            positions = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)),
+                pa.array(np.concatenate(vals_parts), type=pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(terms_parts), type=pa.string()),
+                    pa.array(docs_all, type=pa.int64()),
+                    pa.array(
+                        np.full(len(docs_all), field_id, dtype=np.int32)
+                    ),
+                    positions,
+                    pa.array(np.concatenate(tf_parts), type=pa.int32()),
+                ],
+                names=["term", "doc_id", "field_id", "positions", "tf"],
             )
 
-    return pages_with_ids.select("doc_id", "text").mapInPandas(
+    return pages_with_ids.select("doc_id", "text").mapInArrow(
         run, POSTING_SCHEMA
     )
 
@@ -204,19 +231,23 @@ def build_postings(tokens: DataFrame) -> DataFrame:
     )
 
 
-def build_dictionary(postings: DataFrame) -> DataFrame:
+def build_dictionary(postings: DataFrame, single_field: bool = False) -> DataFrame:
     """postings → dictionary (term, df, cf).
 
     The reference dictionary maps term → posting address (ITermDictionary);
     ours additionally carries document/collection frequency for BM25.
+
+    df counts distinct doc_id, not rows: compound (multi-field) docs
+    contribute one (term, doc, field) row per field but count once
+    toward document frequency. ``single_field=True`` (what build_index
+    passes — it tokenizes one text column) asserts rows are
+    (term, doc)-unique so the cheaper plain count replaces the
+    distinct-aggregate expand.
     """
-    return postings.groupBy("term").agg(
-        # distinct doc_id, not row count: compound (multi-field) docs
-        # contribute one (term, doc, field) row per field but must count
-        # once toward df (document frequency)
-        F.count_distinct("doc_id").alias("df"),
-        F.sum("tf").alias("cf"),
-    )
+    df_expr = (
+        F.count("*") if single_field else F.count_distinct("doc_id")
+    ).alias("df")
+    return postings.groupBy("term").agg(df_expr, F.sum("tf").alias("cf"))
 
 
 def build_doc_stats(tokens: DataFrame) -> DataFrame:
@@ -267,6 +298,12 @@ BLOCK_SCHEMA = T.StructType(
 DOC_GROUP_SPAN = 1 << 22
 BLOCK_MAX_OCC = 4096
 
+# bucketed variant: bucket leads so block rows sort/write directly via
+# partitionBy("bucket") with no second shuffle (build_blocks bucketed=True)
+BLOCK_SCHEMA_BUCKETED = T.StructType(
+    [T.StructField("bucket", T.IntegerType(), False), *BLOCK_SCHEMA.fields]
+)
+
 
 def _block_codec(codec: str):
     """Payload (encode, decode) pair for a block codec/mode name."""
@@ -282,6 +319,7 @@ def build_blocks(
     doc_group_span: int = DOC_GROUP_SPAN,
     block_max_occ: int = BLOCK_MAX_OCC,
     codec: str = "blocks",
+    bucketed: bool = False,
 ) -> DataFrame:
     """postings → compressed block rows with skip/block-max metadata.
 
@@ -291,11 +329,20 @@ def build_blocks(
     block pruning before decode, max_tf enables block-max WAND bounds.
     Block boundaries never split a (doc, field) pair, so per-block
     max_tf is an exact bound.
+
+    ``bucketed=True``: the input carries the term-hash ``bucket``
+    column, the encode shuffle partitions by (bucket, term, doc_grp)
+    and sorts by bucket first, and the output keeps the bucket column —
+    the result is ALREADY in the `partitionBy("bucket")` writer's
+    required order, so the caller writes it directly with no second
+    shuffle of the block payloads (bucket is a function of term, so
+    (term, doc_grp) groups stay contiguous under the bucket-first sort).
     """
 
     salted = postings.withColumn(
         "doc_grp", (F.col("doc_id") / F.lit(doc_group_span)).cast("long")
     )
+    out_schema = BLOCK_SCHEMA_BUCKETED if bucketed else BLOCK_SCHEMA
 
     def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         encode_block, _ = _block_codec(codec)
@@ -304,6 +351,7 @@ def build_blocks(
             n_rows = len(pdf)
             # whole-batch flat arrays — no per-group pandas slicing
             terms = pdf["term"].to_numpy()
+            buckets = pdf["bucket"].to_numpy(np.int64) if bucketed else None
             grps = pdf["doc_grp"].to_numpy(np.int64)
             docs = pdf["doc_id"].to_numpy(np.int64)
             fields = pdf["field_id"].to_numpy(np.int64)
@@ -324,9 +372,11 @@ def build_blocks(
             g_starts = np.nonzero(bnd)[0]
             g_ends = np.append(g_starts[1:], n_rows)
 
-            out: dict[str, list] = {f.name: [] for f in BLOCK_SCHEMA.fields}
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
             for gs, ge in zip(g_starts, g_ends):
                 term, doc_grp = terms[gs], int(grps[gs])
+                if bucketed:
+                    bucket_val = int(buckets[gs])
                 o0, o1 = int(row_off[gs]), int(row_off[ge])
                 # rows are (doc,field)-unique, so row offsets ARE the
                 # (doc,field) boundaries; chunk greedily, never
@@ -345,6 +395,8 @@ def build_blocks(
                     e_row = min(e_row, ge)
                     s, e = int(row_off[s_row]), int(row_off[e_row])
                     out["term"].append(term)
+                    if bucketed:
+                        out["bucket"].append(bucket_val)
                     out["doc_grp"].append(doc_grp)
                     out["block_no"].append(bno)
                     out["first_doc"].append(int(occ_docs[s]))
@@ -388,11 +440,19 @@ def build_blocks(
     # explicit partition count: a bare repartition(cols) is subject to
     # AQE coalescing, which at moderate data sizes collapses this
     # CPU-bound encode stage to a couple of tasks regardless of cores
-    n_parts = postings.sparkSession.sparkContext.defaultParallelism * 2
+    n_parts = postings.sparkSession.sparkContext.defaultParallelism * 4
+    if bucketed:
+        return (
+            salted.repartition(n_parts, "bucket", "term", "doc_grp")
+            .sortWithinPartitions(
+                "bucket", "term", "doc_grp", "doc_id", "field_id"
+            )
+            .mapInPandas(assemble, out_schema)
+        )
     return (
         salted.repartition(n_parts, "term", "doc_grp")
         .sortWithinPartitions("term", "doc_grp", "doc_id", "field_id")
-        .mapInPandas(assemble, BLOCK_SCHEMA)
+        .mapInPandas(assemble, out_schema)
     )
 
 

@@ -34,9 +34,13 @@ def get_spark(
         # cluster deployments override via spark-submit --conf
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # local-scale scan splits: defaults (128m/4m) bin-pack a small
-        # corpus into 1-3 scan tasks regardless of cores
-        .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.sql.files.openCostInBytes", "1m")
+        # corpus into 1-3 scan tasks regardless of cores. Fine splits
+        # matter for the Python-heavy tokenize stage: a ~100MB corpus
+        # must yield several task waves per core, or the last wave's
+        # stragglers idle the other cores (measured 11 tasks on 8 cores
+        # = 0.61 stage scaling; ~40 tasks restores balance)
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

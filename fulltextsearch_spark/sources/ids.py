@@ -9,17 +9,23 @@ url). `monotonically_increasing_id` is neither dense nor stable, so:
 1. range-repartition + sort within partitions by the (unique) order
    column — a global sort order;
 2. persist, count rows per physical partition (one cheap job);
-3. id = partition offset + row_number within the partition.
+3. id = partition offset + the row's local index within its cached
+   partition, read off `monotonically_increasing_id`'s low 33 bits
+   (its documented layout: partition id in the high bits, a
+   consecutive 0-based record number per partition in the low 33).
 
-Step 3's window partitions by `spark_partition_id`, so the sort inside
-each window is partition-local — no second global shuffle. At 10^12
-rows the only global data movement is the one range shuffle that a
-global sort needs anyway.
+Step 3 is NARROW — no window function. A
+`Window.partitionBy(spark_partition_id())` variant re-shuffles the
+cached data into `spark.sql.shuffle.partitions` hash partitions
+(measured: 32 cached partitions collapsed to 8 skewed tasks, and every
+downstream stage — the Python tokenize pass above all — inherited that
+width). At 10^12 rows the only global data movement is the one range
+shuffle a global sort needs anyway.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
@@ -53,10 +59,14 @@ def assign_dense_ids_with_counts(
     partition row counts ({partition_id: rows}) that the assignment
     already had to collect — callers (segment lineage, manifest doc
     counts) reuse them instead of running a second counting job."""
-    if num_partitions:
-        ordered = df.repartitionByRange(num_partitions, order_col)
-    else:
-        ordered = df.repartitionByRange(order_col)
+    if not num_partitions:
+        # explicit count: an un-sized repartitionByRange gets
+        # AQE-coalesced to a handful of partitions at moderate sizes,
+        # and every downstream stage that reads the persisted result
+        # (the Python tokenize pass above all) inherits that width —
+        # measured: 5 tasks on 8 cores, a 14 s straggler tail
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
+    ordered = df.repartitionByRange(num_partitions, order_col)
     ordered = (
         ordered.sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
@@ -73,8 +83,13 @@ def assign_dense_ids_with_counts(
     offset_col = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )[F.col("_pid")]
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    # rows in the cached partition are already in order_col order
+    # (sortWithinPartitions above); the local record number is the low
+    # 33 bits of monotonically_increasing_id — no window, no exchange
+    local_idx = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
     out = ordered.withColumn(
-        id_col, (offset_col + F.row_number().over(w) - F.lit(1)).cast("long")
+        id_col, (offset_col + local_idx).cast("long")
     ).drop("_pid")
     return out, counts

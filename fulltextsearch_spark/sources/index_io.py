@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -63,13 +64,20 @@ def _sorted_bucketed(df: DataFrame, *extra_sort_cols: str) -> DataFrame:
     that recomputes the whole upstream aggregation."""
     cols = ["bucket", "term", *extra_sort_cols]
     # doc-range salt in the shuffle key: a stop-word term's posting
-    # rows would otherwise all land in one write task at 10^12 docs
-    salt = (F.col("doc_id") / F.lit(B.DOC_GROUP_SPAN)).cast("long") if (
-        "doc_id" in df.columns
-    ) else F.col("doc_grp")
+    # rows would otherwise all land in one write task at 10^12 docs.
+    # Doc-position sentinel rows ALL share term=DP_TERM and are the
+    # biggest rows in the table, so they get a per-doc salt (uniform
+    # spread) — with the range salt alone, every sentinel row within a
+    # 4M-doc span landed in ONE write task (measured straggler).
+    if "doc_id" in df.columns:
+        salt = F.when(F.col("term") == B.DP_TERM, F.col("doc_id")).otherwise(
+            (F.col("doc_id") / F.lit(B.DOC_GROUP_SPAN)).cast("long")
+        )
+    else:
+        salt = F.col("doc_grp")
     # explicit count — bare repartition(cols) would be AQE-coalesced
     # down to a handful of write tasks at moderate sizes
-    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 4
     return df.repartition(
         n_parts, F.col("bucket"), F.col("term"), salt
     ).sortWithinPartitions(*cols)
@@ -213,24 +221,58 @@ def build_index(
     # tokenize pass total (the reference tokenizes once too, §3.1)
     staged = spark.read.parquet(os.path.join(seg_path, "postings"))
     postings_committed = staged.where(F.col("bucket") < n_buckets)
-    if mode in BLOCK_MODES:
-        blocks = B.build_blocks(
-            postings_committed.drop("bucket"), codec=mode
-        ).withColumn(
-            "bucket", term_bucket(F.col("term"), n_buckets)
-        )
-        _sorted_bucketed(blocks, "doc_grp", "block_no").write.mode(
+    dict_path = os.path.join(seg_path, "dictionary")
+
+    def _write_blocks() -> None:
+        if mode not in BLOCK_MODES:
+            return
+        # fused: ONE shuffle partitions by (bucket, term, doc_grp) and
+        # sorts bucket-first, so the encoded block rows are already in
+        # the partitionBy writer's order — no second shuffle of payloads
+        B.build_blocks(postings_committed, codec=mode, bucketed=True).write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(os.path.join(seg_path, "blocks"))
-    dict_path = os.path.join(seg_path, "dictionary")
-    B.build_dictionary(postings_committed).write.mode("overwrite").parquet(dict_path)
-    B.doc_stats_from_postings(postings_committed).write.mode("overwrite").parquet(
-        os.path.join(seg_path, "doc_stats")
-    )
-    docs_cols = ["doc_id", *meta_cols] + (["text"] if keep_text else [])
-    with_ids.select(*docs_cols).write.mode("overwrite").parquet(
-        os.path.join(seg_path, "docs")
-    )
+
+    def _write_dictionary() -> None:
+        # single_field: build_index tokenizes one text column, so posting
+        # rows are (term, doc)-unique and df needs no count_distinct expand
+        B.build_dictionary(postings_committed, single_field=True).write.mode(
+            "overwrite"
+        ).parquet(dict_path)
+
+    def _write_doc_stats() -> None:
+        if keep_positions:
+            # dl = token count = half the sentinel row's flat position
+            # vector: a narrow projection of ONE bucket directory — no
+            # aggregation, no scan of the real postings
+            doc_stats = staged.where(F.col("bucket") == n_buckets).select(
+                "doc_id",
+                (F.size("positions") / 2).cast("long").alias("dl"),
+            )
+        else:
+            doc_stats = B.doc_stats_from_postings(postings_committed)
+        doc_stats.write.mode("overwrite").parquet(
+            os.path.join(seg_path, "doc_stats")
+        )
+
+    def _write_docs() -> None:
+        docs_cols = ["doc_id", *meta_cols] + (["text"] if keep_text else [])
+        with_ids.select(*docs_cols).write.mode("overwrite").parquet(
+            os.path.join(seg_path, "docs")
+        )
+
+    # the four table writes derive independently from the committed
+    # postings staging (or the cached pages) — submit them as CONCURRENT
+    # Spark jobs so one job's scheduling gaps and straggler tails fill
+    # with another's tasks (works identically on a real cluster: the
+    # driver is free to run independent jobs in parallel)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(fn)
+            for fn in (_write_blocks, _write_dictionary, _write_doc_stats, _write_docs)
+        ]
+        for fut in futures:
+            fut.result()  # propagate the first failure
     # collection stats from the tiny WRITTEN dictionary (one row per
     # term) — not a recomputation of the full postings aggregation
     stats = (
@@ -295,16 +337,14 @@ def compact_index(spark: SparkSession, root: str) -> dict:
     merged = spark.read.parquet(os.path.join(seg_path, "postings")).where(
         F.col("bucket") < idx.n_buckets
     )
+    single_field = manifest["type"].get("n_fields", 1) == 1
     if idx.mode in BLOCK_MODES:
-        blocks = B.build_blocks(merged.drop("bucket"), codec=idx.mode).withColumn(
-            "bucket", term_bucket(F.col("term"), idx.n_buckets)
-        )
-        _sorted_bucketed(blocks, "doc_grp", "block_no").write.mode(
+        B.build_blocks(merged, codec=idx.mode, bucketed=True).write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(os.path.join(seg_path, "blocks"))
-    B.build_dictionary(merged).write.mode("overwrite").parquet(
-        os.path.join(seg_path, "dictionary")
-    )
+    B.build_dictionary(merged, single_field=single_field).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(seg_path, "dictionary"))
     idx.doc_stats().write.mode("overwrite").parquet(
         os.path.join(seg_path, "doc_stats")
     )

@@ -35,7 +35,7 @@ class MemoryIndex:
         return cls(
             spark,
             postings,
-            B.build_dictionary(postings).persist(StorageLevel.MEMORY_AND_DISK),
+            B.build_dictionary(postings, single_field=True).persist(StorageLevel.MEMORY_AND_DISK),
             B.doc_stats_from_postings(postings).persist(StorageLevel.MEMORY_AND_DISK),
             with_ids.select(
                 "doc_id",
@@ -56,7 +56,7 @@ class MemoryIndex:
         return cls(
             spark,
             postings,
-            B.build_dictionary(postings).persist(StorageLevel.MEMORY_AND_DISK),
+            B.build_dictionary(postings, single_field=True).persist(StorageLevel.MEMORY_AND_DISK),
             B.doc_stats_from_postings(postings).persist(StorageLevel.MEMORY_AND_DISK),
             docs,
         )
