@@ -320,8 +320,17 @@ def build_blocks(
     block_max_occ: int = BLOCK_MAX_OCC,
     codec: str = "blocks",
     bucketed: bool = False,
+    strip_dp_payload: bool = False,
 ) -> DataFrame:
     """postings → compressed block rows with skip/block-max metadata.
+
+    Doc-position sentinel rows (term=DP_TERM, tf=0 — see
+    tokenize_postings) pass through as one block row each: first_doc =
+    last_doc = doc_id, n_occ = vector length (so dl = n_occ/2 is
+    readable from metadata alone), payload = delta+varint of the
+    monotone position vector (``strip_dp_payload=True`` keeps the
+    metadata but drops the payload — the keep_positions=False layout).
+    They are salted per-doc (they all share one term).
 
     Analog of the reference's fixed-block varint codec + skip search
     (PostingListVarIntDeltaWriter.cs:19-33, SURVEY.md §2.C7/D13): each
@@ -340,12 +349,36 @@ def build_blocks(
     """
 
     salted = postings.withColumn(
-        "doc_grp", (F.col("doc_id") / F.lit(doc_group_span)).cast("long")
+        "doc_grp",
+        F.when(F.col("term") == DP_TERM, F.col("doc_id")).otherwise(
+            (F.col("doc_id") / F.lit(doc_group_span)).cast("long")
+        ),
     )
     out_schema = BLOCK_SCHEMA_BUCKETED if bucketed else BLOCK_SCHEMA
 
     def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fulltextsearch_spark.operators.codec import encode_positions_payload
+
         encode_block, _ = _block_codec(codec)
+
+        def encode_dp(pdf: pd.DataFrame) -> pd.DataFrame:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for row in pdf.itertuples(index=False):
+                out["term"].append(DP_TERM)
+                if bucketed:
+                    out["bucket"].append(int(row.bucket))
+                out["doc_grp"].append(int(row.doc_grp))
+                out["block_no"].append(0)
+                out["first_doc"].append(int(row.doc_id))
+                out["last_doc"].append(int(row.doc_id))
+                out["n_occ"].append(len(row.positions))
+                out["n_docs"].append(1)
+                out["max_tf"].append(0)
+                out["payload"].append(
+                    b"" if strip_dp_payload
+                    else encode_positions_payload(row.positions)
+                )
+            return pd.DataFrame(out)
 
         def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
             n_rows = len(pdf)
@@ -419,6 +452,12 @@ def build_blocks(
         # block sizing always see whole groups
         carry: pd.DataFrame | None = None
         for pdf in batches:
+            # sentinel doc-position rows: one block row per input row,
+            # no grouping/carry semantics
+            dp_mask = pdf["term"].to_numpy() == DP_TERM
+            if dp_mask.any():
+                yield encode_dp(pdf[dp_mask])
+                pdf = pdf[~dp_mask].reset_index(drop=True)
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
@@ -465,6 +504,78 @@ POSTING_SCHEMA = T.StructType(
         T.StructField("tf", T.IntegerType(), False),
     ]
 )
+
+
+DOC_POSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("field_id", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType(), False), False),
+    ]
+)
+
+
+def decode_dp_blocks(blocks: DataFrame, field_id: int = 1) -> DataFrame:
+    """Sentinel block rows → (doc_id, field_id, positions) — the
+    doc-positions table view over a blocks-only index layout."""
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fulltextsearch_spark.operators.codec import decode_positions_payload
+
+        for pdf in pdfs:
+            docs, vecs = [], []
+            for doc_id, payload in zip(pdf["first_doc"], pdf["payload"]):
+                docs.append(int(doc_id))
+                vecs.append(
+                    decode_positions_payload(bytes(payload)).astype(np.int32).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": docs,
+                    "field_id": np.full(len(docs), field_id, dtype=np.int32),
+                    "positions": vecs,
+                }
+            )
+
+    return blocks.select("first_doc", "payload").mapInPandas(
+        run, DOC_POSITIONS_SCHEMA
+    )
+
+
+def blocks_to_postings(blocks: DataFrame, codec: str = "blocks") -> DataFrame:
+    """Full inverse of the blocks-only layout, INCLUDING sentinel rows
+    (term=DP_TERM, tf=0, positions = flat offset vector) — compaction
+    reads this to re-encode merged segments."""
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fulltextsearch_spark.operators.codec import decode_positions_payload
+
+        for pdf in pdfs:
+            dp = pdf[pdf["term"].to_numpy() == DP_TERM]
+            if len(dp):
+                yield pd.DataFrame(
+                    {
+                        "term": [DP_TERM] * len(dp),
+                        "doc_id": dp["first_doc"].astype("int64").tolist(),
+                        "field_id": np.ones(len(dp), dtype=np.int32),
+                        "positions": [
+                            decode_positions_payload(bytes(p)).astype(np.int32).tolist()
+                            for p in dp["payload"]
+                        ],
+                        "tf": np.zeros(len(dp), dtype=np.int32),
+                    }
+                )
+
+    dp_rows = blocks.where(F.col("term") == DP_TERM)
+    occ_rows = decode_blocks(
+        blocks.where(F.col("term") != DP_TERM).select("term", "payload"),
+        codec=codec,
+    )
+    return occ_rows.unionByName(
+        dp_rows.select("term", "first_doc", "payload").mapInPandas(
+            run, POSTING_SCHEMA
+        )
+    )
 
 
 def decode_blocks(

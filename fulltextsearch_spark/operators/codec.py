@@ -164,6 +164,24 @@ def decode_block_gv(payload: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return _reconstruct(body[:n], body[n : 2 * n], body[2 * n :])
 
 
+def encode_positions_payload(vec) -> bytes:
+    """Delta+varint for a monotone non-decreasing int vector — used for
+    the per-document flat (off+1, off+1+len) position vectors carried
+    as sentinel rows in the blocks table (C10 analog: the reference's
+    delta-compressed monotone position list)."""
+    a = np.asarray(vec, dtype=np.int64)
+    d = np.diff(a, prepend=np.int64(0))
+    return varint_encode(
+        np.concatenate([np.array([len(a)], dtype=np.int64), d]).astype(np.uint64)
+    )
+
+
+def decode_positions_payload(payload: bytes) -> np.ndarray:
+    v = varint_decode(payload)
+    n = int(v[0])
+    return np.cumsum(v[1 : 1 + n].astype(np.int64))
+
+
 def decode_block_lower_bound(
     payload: bytes, target_doc: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

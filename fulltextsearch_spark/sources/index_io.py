@@ -144,8 +144,12 @@ def build_index(
             # WAND block-max pruning relies on this (operators/bm25.py)
             "n_fields": 1,
             # doc-position vectors live as sentinel rows (term="") in
-            # the postings table's extra bucket — one tokenize pass
+            # the main table's extra bucket — one tokenize pass
             "dp_sentinel": True,
+            # blocks modes store ONLY the blocks table (no staged
+            # array-postings); dictionary/doc_stats derive from block
+            # metadata and doc positions from sentinel block payloads
+            "blocks_only": mode in BLOCK_MODES,
         },
         "tokenizer": {"max_token_size": MAX_TOKEN_SIZE},
         "next_doc_id": 1,
@@ -200,60 +204,82 @@ def build_index(
     # posting rows assembled per doc inside the tokenize pass — no
     # groupBy shuffle (tokenize_postings docstring); doc-position
     # sentinel rows (term="") land in their own bucket = n_buckets so
-    # term-bucket pruning never reads them
-    postings = B.tokenize_postings(
-        with_ids, emit_doc_positions=keep_positions
+    # term-bucket pruning never reads them. Blocks modes always emit
+    # sentinel rows: their METADATA (n_occ = vector length) is the
+    # doc-length table even when payloads are stripped.
+    tokenized = B.tokenize_postings(
+        with_ids, emit_doc_positions=keep_positions or mode in BLOCK_MODES
     ).withColumn(
         "bucket",
         F.when(F.col("term") == B.DP_TERM, F.lit(n_buckets)).otherwise(
             term_bucket(F.col("term"), n_buckets)
         ),
     )
-    # hash-repartition + in-partition sort by (bucket, term, doc_id):
-    # the partitionBy writer's required ordering is already satisfied
-    # (no per-task re-sort of array rows), write parallelism stays at
-    # shuffle-partition width even with few buckets, and files get
-    # term-clustered row groups (min/max stats prune within a bucket).
-    _sorted_bucketed(postings, "doc_id").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(seg_path, "postings"))
-    # everything downstream derives from the committed postings — one
-    # tokenize pass total (the reference tokenizes once too, §3.1)
-    staged = spark.read.parquet(os.path.join(seg_path, "postings"))
-    postings_committed = staged.where(F.col("bucket") < n_buckets)
     dict_path = os.path.join(seg_path, "dictionary")
 
-    def _write_blocks() -> None:
-        if mode not in BLOCK_MODES:
-            return
-        # fused: ONE shuffle partitions by (bucket, term, doc_grp) and
-        # sorts bucket-first, so the encoded block rows are already in
-        # the partitionBy writer's order — no second shuffle of payloads
-        B.build_blocks(postings_committed, codec=mode, bucketed=True).write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(os.path.join(seg_path, "blocks"))
-
-    def _write_dictionary() -> None:
-        # single_field: build_index tokenizes one text column, so posting
-        # rows are (term, doc)-unique and df needs no count_distinct expand
-        B.build_dictionary(postings_committed, single_field=True).write.mode(
-            "overwrite"
-        ).parquet(dict_path)
-
-    def _write_doc_stats() -> None:
-        if keep_positions:
-            # dl = token count = half the sentinel row's flat position
-            # vector: a narrow projection of ONE bucket directory — no
-            # aggregation, no scan of the real postings
-            doc_stats = staged.where(F.col("bucket") == n_buckets).select(
-                "doc_id",
-                (F.size("positions") / 2).cast("long").alias("dl"),
-            )
-        else:
-            doc_stats = B.doc_stats_from_postings(postings_committed)
-        doc_stats.write.mode("overwrite").parquet(
-            os.path.join(seg_path, "doc_stats")
+    if mode in BLOCK_MODES:
+        # blocks-only layout: the tokenize pass pipes STRAIGHT into the
+        # fused block shuffle (partition by (bucket, term, doc_grp),
+        # sort bucket-first, encode, write partitionBy(bucket)) — the
+        # build's ONLY full-data shuffle and ONLY full-data write. No
+        # staged array-postings table exists; dictionary and doc stats
+        # read the tiny committed block METADATA:
+        #   df = Σ n_docs  (blocks never split a (doc, field) row and
+        #        doc_grp ranges are disjoint — exact for single-field),
+        #   cf = Σ n_occ, dl = sentinel n_occ / 2.
+        B.build_blocks(
+            tokenized,
+            codec=mode,
+            bucketed=True,
+            strip_dp_payload=not keep_positions,
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(seg_path, "blocks")
         )
+        blocks_committed = spark.read.parquet(os.path.join(seg_path, "blocks"))
+        real_blocks = blocks_committed.where(F.col("bucket") < n_buckets)
+
+        def _write_dictionary() -> None:
+            real_blocks.groupBy("term").agg(
+                F.sum("n_docs").cast("long").alias("df"),
+                F.sum("n_occ").cast("long").alias("cf"),
+            ).write.mode("overwrite").parquet(dict_path)
+
+        def _write_doc_stats() -> None:
+            blocks_committed.where(F.col("bucket") == n_buckets).select(
+                F.col("first_doc").alias("doc_id"),
+                (F.col("n_occ") / 2).cast("long").alias("dl"),
+            ).write.mode("overwrite").parquet(os.path.join(seg_path, "doc_stats"))
+
+    else:
+        # arrays layout: stage the posting rows as the queryable table;
+        # everything downstream derives from the committed postings —
+        # one tokenize pass total (the reference tokenizes once too, §3.1)
+        _sorted_bucketed(tokenized, "doc_id").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(seg_path, "postings"))
+        staged = spark.read.parquet(os.path.join(seg_path, "postings"))
+        postings_committed = staged.where(F.col("bucket") < n_buckets)
+
+        def _write_dictionary() -> None:
+            # single_field: build_index tokenizes one text column, so
+            # rows are (term, doc)-unique — no count_distinct expand
+            B.build_dictionary(postings_committed, single_field=True).write.mode(
+                "overwrite"
+            ).parquet(dict_path)
+
+        def _write_doc_stats() -> None:
+            if keep_positions:
+                # dl = half the sentinel row's flat position vector: a
+                # narrow projection of ONE bucket directory — no agg
+                doc_stats = staged.where(F.col("bucket") == n_buckets).select(
+                    "doc_id",
+                    (F.size("positions") / 2).cast("long").alias("dl"),
+                )
+            else:
+                doc_stats = B.doc_stats_from_postings(postings_committed)
+            doc_stats.write.mode("overwrite").parquet(
+                os.path.join(seg_path, "doc_stats")
+            )
 
     def _write_docs() -> None:
         docs_cols = ["doc_id", *meta_cols] + (["text"] if keep_text else [])
@@ -261,15 +287,15 @@ def build_index(
             os.path.join(seg_path, "docs")
         )
 
-    # the four table writes derive independently from the committed
-    # postings staging (or the cached pages) — submit them as CONCURRENT
-    # Spark jobs so one job's scheduling gaps and straggler tails fill
-    # with another's tasks (works identically on a real cluster: the
-    # driver is free to run independent jobs in parallel)
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # these outputs derive independently from the committed main table
+    # (or the cached pages) — submit them as CONCURRENT Spark jobs so
+    # one job's scheduling gaps and straggler tails fill with another's
+    # tasks (works identically on a real cluster: the driver is free to
+    # run independent jobs in parallel)
+    with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
             pool.submit(fn)
-            for fn in (_write_blocks, _write_dictionary, _write_doc_stats, _write_docs)
+            for fn in (_write_dictionary, _write_doc_stats, _write_docs)
         ]
         for fut in futures:
             fut.result()  # propagate the first failure
@@ -328,38 +354,66 @@ def compact_index(spark: SparkSession, root: str) -> dict:
     seg_path = os.path.join(root, seg_name)
     t0 = time.time()
 
-    postings = idx._union("postings")
-    # sentinel doc-position rows (bucket == n_buckets) travel with the
-    # postings union unchanged — no separate doc_positions table
-    _sorted_bucketed(postings, "doc_id").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(seg_path, "postings"))
-    merged = spark.read.parquet(os.path.join(seg_path, "postings")).where(
-        F.col("bucket") < idx.n_buckets
-    )
     single_field = manifest["type"].get("n_fields", 1) == 1
-    if idx.mode in BLOCK_MODES:
-        B.build_blocks(merged, codec=idx.mode, bucketed=True).write.mode(
+    if manifest["type"].get("blocks_only"):
+        # blocks-only layout: decode the union of segment blocks back
+        # to posting rows (sentinel rows ride along) and re-encode one
+        # merged blocks table; dictionary/doc stats come from the
+        # merged block metadata exactly as in build_index
+        posting_rows = B.blocks_to_postings(
+            idx._union("blocks"), codec=idx.mode
+        ).withColumn(
+            "bucket",
+            F.when(F.col("term") == B.DP_TERM, F.lit(idx.n_buckets)).otherwise(
+                term_bucket(F.col("term"), idx.n_buckets)
+            ),
+        )
+        B.build_blocks(posting_rows, codec=idx.mode, bucketed=True).write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(os.path.join(seg_path, "blocks"))
-    B.build_dictionary(merged, single_field=single_field).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(seg_path, "dictionary"))
-    idx.doc_stats().write.mode("overwrite").parquet(
-        os.path.join(seg_path, "doc_stats")
-    )
+        blocks_committed = spark.read.parquet(os.path.join(seg_path, "blocks"))
+        blocks_committed.where(F.col("bucket") < idx.n_buckets).groupBy(
+            "term"
+        ).agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("n_occ").cast("long").alias("cf"),
+        ).write.mode("overwrite").parquet(os.path.join(seg_path, "dictionary"))
+        blocks_committed.where(F.col("bucket") == idx.n_buckets).select(
+            F.col("first_doc").alias("doc_id"),
+            (F.col("n_occ") / 2).cast("long").alias("dl"),
+        ).write.mode("overwrite").parquet(os.path.join(seg_path, "doc_stats"))
+    else:
+        postings = idx._union("postings")
+        # sentinel doc-position rows (bucket == n_buckets) travel with
+        # the postings union unchanged — no separate doc_positions table
+        _sorted_bucketed(postings, "doc_id").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(seg_path, "postings"))
+        merged = spark.read.parquet(os.path.join(seg_path, "postings")).where(
+            F.col("bucket") < idx.n_buckets
+        )
+        if idx.mode in BLOCK_MODES:  # legacy blocks layout w/ postings
+            B.build_blocks(merged, codec=idx.mode, bucketed=True).write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(os.path.join(seg_path, "blocks"))
+        B.build_dictionary(merged, single_field=single_field).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(seg_path, "dictionary"))
+        idx.doc_stats().write.mode("overwrite").parquet(
+            os.path.join(seg_path, "doc_stats")
+        )
+        if not manifest["type"].get("dp_sentinel"):
+            try:  # legacy layout: positions in their own table
+                idx.doc_positions().write.mode("overwrite").parquet(
+                    os.path.join(seg_path, "doc_positions")
+                )
+            except Exception:
+                pass  # positions were not kept at build time
     idx.docs().write.mode("overwrite").parquet(os.path.join(seg_path, "docs"))
-    if not manifest["type"].get("dp_sentinel"):
-        try:  # legacy layout: positions in their own table
-            idx.doc_positions().write.mode("overwrite").parquet(
-                os.path.join(seg_path, "doc_positions")
-            )
-        except Exception:
-            pass  # positions were not kept at build time
 
     n_docs = sum(s["n_docs"] for s in old)
     stats = (
-        B.build_dictionary(merged)
+        spark.read.parquet(os.path.join(seg_path, "dictionary"))
         .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"))
         .collect()[0]
     )
@@ -456,6 +510,10 @@ class Index:
         return self._union("docs")
 
     def doc_positions(self) -> DataFrame:
+        if self.manifest["type"].get("blocks_only"):
+            return B.decode_dp_blocks(
+                self._union("blocks").where(F.col("bucket") == self.n_buckets)
+            )
         if self.manifest["type"].get("dp_sentinel"):
             return (
                 self._union("postings")
@@ -496,7 +554,9 @@ class Index:
             df = df.where(F.col("bucket").isin(self._buckets_of(exact_terms)))
             df = df.where(F.col("term").isin(exact_terms))
         else:
-            if not in_blocks and self.manifest["type"].get("dp_sentinel"):
+            if self.manifest["type"].get("dp_sentinel") or self.manifest[
+                "type"
+            ].get("blocks_only"):
                 # exclude the doc-position sentinel partition from
                 # pattern scans (partition-pruned directory filter)
                 df = df.where(F.col("bucket") < self.n_buckets)
