@@ -11,7 +11,7 @@ corpus, scaled up with the deterministic synthetic webtext generator:
 Env knobs:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     (default 32)
-  FTS_BENCH_DOCS       (default 50000 synthetic docs + the sf documents)
+  FTS_BENCH_DOCS       (default 150000 synthetic docs + the sf documents)
 
 Output: {"metric": ..., "value": <total sec>, "unit": "sec",
          "queries": {...per-phase sec...}, "sf": ...}
@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("FTS_BENCH_DOCS", "50000"))
+    n_docs = int(os.environ.get("FTS_BENCH_DOCS", "150000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import functions as F
@@ -101,12 +101,16 @@ def main() -> None:
             t0 = time.time()
             idx.rank(q, 10).collect()
             timings[name] = round(time.time() - t0, 3)
-        # block-max WAND prune ratio on a skewed (hot+rare) query
+        # block-max WAND prune ratio on a skewed rare+mid query (k=5);
+        # BM25's saturating tfn makes per-block bounds nearly uniform on
+        # this Zipf corpus, so the ratio documents how much block-max
+        # helps HERE — test_wand proves pruning fires when block score
+        # spreads exist (short high-tf docs)
         from fulltextsearch_spark.operators.bm25 import rank_terms_wand
 
         wand_stats: dict = {}
         t0 = time.time()
-        rank_terms_wand(idx, ["t0", "t500", "zmarkerz"], 10, stats=wand_stats).collect()
+        rank_terms_wand(idx, ["zmarkerz", "t500"], 5, stats=wand_stats).collect()
         timings["q_bm25_wand_skew"] = round(time.time() - t0, 3)
 
         # breadth: pipeline ops over the driver documents table

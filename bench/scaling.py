@@ -99,9 +99,9 @@ def main() -> None:
 
 Sandbox stand-in for the N vs 4N executor-cluster requirement
 (BASELINE.json north_rule): the identical job (deterministic synthetic
-corpus, n_docs={n_docs}, blocks-mode index build: tokenize → bucketed
-postings write → block codec + dictionary + doc stats + docs, all
-committed through the manifest) run at three parallelism levels on the
+corpus, n_docs={n_docs}, blocks-mode index build: id assignment →
+tokenize → fused block-codec shuffle/write + metadata-derived
+dictionary/doc-stats + docs table, committed through the manifest) run at three parallelism levels on the
 same 32-core machine, each pinned with `taskset -c 0-(N-1)` so N means
 N hardware cores for the whole executor + Python-worker tree (a
 local[N] alone lets Python workers borrow extra cores, inflating

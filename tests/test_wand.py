@@ -40,27 +40,76 @@ def test_wand_rank_identical_to_exhaustive(spark, synth_blocks_idx, terms, k):
         (r["doc_id"], round(r["score"], 9))
         for r in rank_query_exhaustive(idx, query, k).collect()
     ]
-    # rank() routes flat term queries through WAND on a blocks index
+    # force the WAND route through the production rank_query wiring
+    # (the 400-doc fixture is below the WAND_MIN_DOCS cost gate)
+    from fulltextsearch_spark.operators.bm25 import rank_query
+
     wand = [
         (r["doc_id"], round(r["score"], 9))
-        for r in idx.rank(query, k).collect()
+        for r in rank_query(idx, query, k, force_wand=True).collect()
     ]
     assert wand == exhaustive
 
 
 def test_rank_query_routes_flat_terms_to_wand(spark, synth_blocks_idx):
     """Production wiring: idx.rank on a blocks-mode single-field index
-    takes the WAND path for WORD/OR-of-WORDs, and the pruning actually
-    skips block decodes on a skewed query."""
+    takes the WAND path for WORD/OR-of-WORDs above the cost gate, and
+    block-max pruning actually skips decodes on a hot single term."""
     idx = synth_blocks_idx
     stats: dict = {}
-    top = rank_terms_wand(idx, ["t0", "zmarkerz"], 5, stats=stats).collect()
+    top = rank_terms_wand(idx, ["t0"], 5, stats=stats).collect()
     assert len(top) == 5
     assert stats["n_blocks"] >= stats["n_blocks_decoded"] >= 1
-    # duplicate terms must NOT take the WAND path (OR keeps duplicates)
-    from fulltextsearch_spark.operators.bm25 import _flat_word_terms
+    # eligibility: structural conditions + the cost gate
+    from fulltextsearch_spark.operators.bm25 import (
+        _flat_word_terms,
+        _wand_eligible,
+    )
     from fulltextsearch_spark.plans import parser
 
+    assert _wand_eligible(idx, ["t0"], force=True)
+    assert not _wand_eligible(idx, ["t0"], force=None)  # 400 docs < gate
+    assert not _wand_eligible(idx, None, force=True)  # non-flat AST
+    # duplicate terms must NOT take the WAND path (OR keeps duplicates)
     assert _flat_word_terms(parser.parse("OR(WORD(t0),WORD(t0))")) is None
     assert _flat_word_terms(parser.parse("OR(WORD(t0),SEQ(WORD(t1)))")) is None
     assert _flat_word_terms(parser.parse("WORD(t3)")) == ["t3"]
+
+
+def test_wand_prunes_blocks_on_score_spread(spark, tmp_path):
+    """Block-max pruning demonstrably skips decodes when blocks have a
+    real score spread: a few SHORT docs repeat the term many times
+    (high tfn), the long tail has tf=1 in long docs (low tfn). The
+    high-tf docs get low doc ids (url order), so they concentrate in
+    the first blocks; later blocks' ub falls below the top-k threshold
+    and never decode."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from fulltextsearch_spark.sources.pages import PAGES_SCHEMA
+
+    epoch = datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for i in range(30):  # short, high-tf docs -> top scores
+        text = " ".join(["pms"] * 150)
+        rows.append((f"a{i:05d}", epoch, b"", text, "en"))
+    for i in range(9000):  # long tail: tf=1 inside longer docs
+        text = "pms " + " ".join(f"w{i}x{j}" for j in range(60))
+        rows.append((f"b{i:05d}", epoch, b"", text, "en"))
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    root = str(tmp_path / "wand_spread")
+    build_index(spark, pages, root, mode="blocks")
+    idx = Index.open(spark, root)
+
+    stats: dict = {}
+    top = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_terms_wand(idx, ["pms"], 10, stats=stats).collect()
+    ]
+    exhaustive = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_query_exhaustive(idx, "WORD(pms)", 10).collect()
+    ]
+    assert top == exhaustive
+    assert stats["n_blocks_decoded"] < stats["n_blocks"], stats
