@@ -208,6 +208,19 @@ def q_minhash_lsh(spark, sf_dir):
     return DD.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup clusters: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation) → (doc_id, cluster_id
+    = min doc id in component)."""
+    tok = _tokens(spark, sf_dir)
+    sigs = DD.minhash_signatures(tok, n=3, n_perm=8)
+    pairs = DD.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2)
+    return DD.dup_clusters(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     """60-bit SimHash per doc (md5-derived token hashes — bit-exact
     DuckDB oracle)."""
@@ -306,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -614,6 +628,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_id, vec_id, round(cos, 6) AS cos, rank::BIGINT AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            hashed AS (
+              SELECT doc_id, ({h60} % {_MINHASH_PRIME}) AS h FROM sh
+            ),
+            sigs AS (
+              SELECT doc_id, {_MH_COLS}
+              FROM hashed GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, 0 AS band, m0 || ',' || m1 AS key FROM sigs
+              UNION ALL SELECT doc_id, 1, m2 || ',' || m3 FROM sigs
+              UNION ALL SELECT doc_id, 2, m4 || ',' || m5 FROM sigs
+              UNION ALL SELECT doc_id, 3, m6 || ',' || m7 FROM sigs
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM cand
+              UNION SELECT doc_b, doc_a FROM cand
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src::BIGINT AS doc_id,
+                   least(src, min(dst))::BIGINT AS cluster_id
+            FROM reach GROUP BY src
         """,
         "simhash": _SIMHASH_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),

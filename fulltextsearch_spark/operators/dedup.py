@@ -193,6 +193,72 @@ def lsh_candidate_pairs(
 SIMHASH_BITS = 60  # 15 hex chars of md5 — oracle-reproducible in SQL
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-duplicate clusters from candidate pairs: (doc_id,
+    cluster_id) where cluster_id = the smallest doc_id in the
+    connected component.
+
+    Iterative min-label propagation (the standard distributed
+    connected-components shape): each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds. Each round is one join + one
+    aggregation; `localCheckpoint` truncates the lineage so the plan
+    does not grow with iterations (the canonical Spark iterative-
+    algorithm pattern). The driver-side convergence check reuses the
+    checkpointed result — no recomputation.
+
+    At 10^12 docs: near-dup components are overwhelmingly tiny (pairs
+    come from LSH buckets), so rounds ≈ 2-4 and every round is a plain
+    shuffle-join with AQE skew handling — never an all-pairs structure.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Drop near-duplicates: keep only each cluster's canonical doc
+    (min doc_id) plus every unclustered doc — the materializing end of
+    a dedup pipeline. One broadcast-or-shuffle left join, no windows."""
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def simhash60(docs_tokens: DataFrame) -> DataFrame:
     """60-bit SimHash over tokens (tf-weighted bit votes).
 

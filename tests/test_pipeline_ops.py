@@ -201,3 +201,27 @@ def test_frame_sample_plan(spark):
         # duration 1000*(i%7) ms → (i%7)+1 sampled frames
         i = r["media_id"]
         assert r["count"] == (i % 7) + 1
+
+
+def test_dup_clusters_and_keep_canonical(spark):
+    """Min-label propagation finds connected components (including a
+    chain that needs >1 round) and keep_canonical retains exactly one
+    doc per cluster plus all unclustered docs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DD.dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 5, 10, 11, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in DD.keep_canonical(docs, DD.dup_clusters(pairs)).collect()
+    )
+    assert kept == [1, 5, 10, 20, 99]
