@@ -311,6 +311,8 @@ def _block_codec(codec: str):
 
     if codec == "groupvarint":
         return C.encode_block_gv, C.decode_block_gv
+    if codec == "packedints":
+        return C.encode_block_packed, C.decode_block_packed
     return C.encode_block, C.decode_block
 
 

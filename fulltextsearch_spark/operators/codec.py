@@ -164,6 +164,72 @@ def decode_block_gv(payload: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return _reconstruct(body[:n], body[n : 2 * n], body[2 * n :])
 
 
+def _pack_bits(vals: np.ndarray, bits: int) -> bytes:
+    """Little-endian fixed-width bit packing (vectorized)."""
+    if bits == 0:
+        return b""
+    v = vals.astype(np.uint64)
+    m = ((v[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.uint8
+    )
+    return np.packbits(m.ravel(), bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: bytes, n: int, bits: int) -> np.ndarray:
+    if bits == 0:
+        return np.zeros(n, dtype=np.uint64)
+    m = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=n * bits, bitorder="little"
+    ).reshape(n, bits).astype(np.uint64)
+    return (m << np.arange(bits, dtype=np.uint64)).sum(axis=1)
+
+
+def _read_varints(buf: bytes, count: int) -> tuple[list[int], int]:
+    """Scalar LEB128 reader for small headers; returns (values, offset)."""
+    vals, pos = [], 0
+    for _ in range(count):
+        v, shift = 0, 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        vals.append(v)
+    return vals, pos
+
+
+def encode_block_packed(
+    docs: np.ndarray, fields: np.ndarray, pos: np.ndarray
+) -> bytes:
+    """PackedInts payload variant — same delta streams, each stored at
+    its minimal fixed bit width (the reference's delta + packed-int
+    posting codec, IndexTypes/Persistent/PostingListPackedIntDeltaWriter
+    .cs:7-60 + Common/PackedInts.cs; capability parity, columnar
+    layout). Header: varint [n, bits_doc, bits_field, bits_pos]."""
+    n = len(docs)
+    ddoc, dfield, dpos = _delta_streams(docs, fields, pos)
+    streams = [s.astype(np.uint64) for s in (ddoc, dfield, dpos)]
+    widths = [int(int(s.max()).bit_length()) if n else 0 for s in streams]
+    header = varint_encode(
+        np.array([n, *widths], dtype=np.uint64)
+    )
+    return header + b"".join(
+        _pack_bits(s, w) for s, w in zip(streams, widths)
+    )
+
+
+def decode_block_packed(payload: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    (n, wd, wf, wp), off = _read_varints(payload, 4)
+    out = []
+    for w in (wd, wf, wp):
+        nbytes = (n * w + 7) // 8
+        out.append(_unpack_bits(payload[off : off + nbytes], n, w).astype(np.int64))
+        off += nbytes
+    return _reconstruct(out[0], out[1], out[2])
+
+
 def encode_positions_payload(vec) -> bytes:
     """Delta+varint for a monotone non-decreasing int vector — used for
     the per-document flat (off+1, off+1+len) position vectors carried

@@ -47,8 +47,9 @@ from fulltextsearch_spark.sources.ids import assign_dense_ids_with_counts
 
 MANIFEST = "manifest.json"
 DEFAULT_BUCKETS = 8
-# modes whose query path reads compressed block rows
-BLOCK_MODES = ("blocks", "groupvarint")
+# modes whose query path reads compressed block rows; the mode name
+# picks the payload codec (delta+varint / group-varint / packed-ints)
+BLOCK_MODES = ("blocks", "groupvarint", "packedints")
 
 
 def term_bucket(col, n_buckets: int):

@@ -45,11 +45,16 @@ def test_block_roundtrip(occs):
     d = np.array([o[0] for o in occs], dtype=np.int64)
     f = np.array([o[1] for o in occs], dtype=np.int64)
     p = np.array([o[2] for o in occs], dtype=np.int64)
-    payload = codec.encode_block(d, f, p)
-    dd, ff, pp = codec.decode_block(payload)
-    assert dd.tolist() == d.tolist()
-    assert ff.tolist() == f.tolist()
-    assert pp.tolist() == p.tolist()
+    for enc, dec in (
+        (codec.encode_block, codec.decode_block),
+        (codec.encode_block_gv, codec.decode_block_gv),
+        (codec.encode_block_packed, codec.decode_block_packed),
+    ):
+        payload = enc(d, f, p)
+        dd, ff, pp = dec(payload)
+        assert dd.tolist() == d.tolist()
+        assert ff.tolist() == f.tolist()
+        assert pp.tolist() == p.tolist()
 
 
 def test_lower_bound_seek():
