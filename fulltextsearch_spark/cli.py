@@ -31,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     pi = sub.add_parser("index", help="build/append an index segment")
     pi.add_argument("--input", required=True, help="pages parquet path")
     pi.add_argument("--root", required=True)
-    pi.add_argument("--mode", default="blocks", choices=["arrays", "blocks", "groupvarint", "packedints"])
+    pi.add_argument("--mode", default="blocks", choices=["arrays", "blocks", "groupvarint", "packedints", "binary"])
     pi.add_argument("--extract-html", action="store_true",
                     help="derive text from the html column")
 

@@ -313,6 +313,8 @@ def _block_codec(codec: str):
         return C.encode_block_gv, C.decode_block_gv
     if codec == "packedints":
         return C.encode_block_packed, C.decode_block_packed
+    if codec == "binary":
+        return C.encode_block_binary, C.decode_block_binary
     return C.encode_block, C.decode_block
 
 

@@ -230,6 +230,34 @@ def decode_block_packed(payload: bytes) -> tuple[np.ndarray, np.ndarray, np.ndar
     return _reconstruct(out[0], out[1], out[2])
 
 
+def encode_block_binary(
+    docs: np.ndarray, fields: np.ndarray, pos: np.ndarray
+) -> bytes:
+    """Binary payload variant — uncompressed little-endian occurrence
+    triplets, the reference's plain Binary posting serializer
+    (IndexTypes/Persistent/PostingListBinaryWriter.cs:10-127; capability
+    parity, columnar int32 fields/pos + int64 docs). The debug/baseline
+    codec of the matrix: fastest encode, largest payload."""
+    n = len(docs)
+    header = varint_encode(np.array([n], dtype=np.uint64))
+    return (
+        header
+        + docs.astype("<i8").tobytes()
+        + fields.astype("<i4").tobytes()
+        + pos.astype("<i4").tobytes()
+    )
+
+
+def decode_block_binary(payload: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    (n,), off = _read_varints(payload, 1)
+    docs = np.frombuffer(payload, dtype="<i8", count=n, offset=off)
+    off += 8 * n
+    fields = np.frombuffer(payload, dtype="<i4", count=n, offset=off)
+    off += 4 * n
+    pos = np.frombuffer(payload, dtype="<i4", count=n, offset=off)
+    return docs.astype(np.int64), fields.astype(np.int64), pos.astype(np.int64)
+
+
 def encode_positions_payload(vec) -> bytes:
     """Delta+varint for a monotone non-decreasing int vector — used for
     the per-document flat (off+1, off+1+len) position vectors carried

@@ -48,8 +48,9 @@ from fulltextsearch_spark.sources.ids import assign_dense_ids_with_counts
 MANIFEST = "manifest.json"
 DEFAULT_BUCKETS = 8
 # modes whose query path reads compressed block rows; the mode name
-# picks the payload codec (delta+varint / group-varint / packed-ints)
-BLOCK_MODES = ("blocks", "groupvarint", "packedints")
+# picks the payload codec (delta+varint / group-varint / packed-ints /
+# uncompressed binary)
+BLOCK_MODES = ("blocks", "groupvarint", "packedints", "binary")
 
 
 def term_bucket(col, n_buckets: int):

@@ -23,7 +23,7 @@ def pms_index_roots(spark, tmp_path_factory):
     from fulltextsearch_spark.sources.pages import pms_corpus_pages
 
     roots = {}
-    for mode in ("arrays", "blocks", "groupvarint", "packedints"):
+    for mode in ("arrays", "blocks", "groupvarint", "packedints", "binary"):
         root = str(tmp_path_factory.mktemp(f"pms_{mode}"))
         for seg in (1, 2, 3):
             build_index(

@@ -49,6 +49,7 @@ def test_block_roundtrip(occs):
         (codec.encode_block, codec.decode_block),
         (codec.encode_block_gv, codec.decode_block_gv),
         (codec.encode_block_packed, codec.decode_block_packed),
+        (codec.encode_block_binary, codec.decode_block_binary),
     ):
         payload = enc(d, f, p)
         dd, ff, pp = dec(payload)

@@ -60,21 +60,21 @@ GOLDENS_SEG1 = [
 @pytest.fixture(scope="session")
 def seg1_roots(spark, tmp_path_factory):
     roots = {}
-    for mode in ("arrays", "blocks", "groupvarint", "packedints"):
+    for mode in ("arrays", "blocks", "groupvarint", "packedints", "binary"):
         root = str(tmp_path_factory.mktemp(f"pms1_{mode}"))
         build_index(spark, pms_corpus_pages(spark, (1,)), root, mode=mode)
         roots[mode] = root
     return roots
 
 
-@pytest.mark.parametrize("mode", ["arrays", "blocks", "groupvarint", "packedints"])
+@pytest.mark.parametrize("mode", ["arrays", "blocks", "groupvarint", "packedints", "binary"])
 @pytest.mark.parametrize("query,expected", GOLDENS_SEG1)
 def test_goldens_docs_1_6(spark, seg1_roots, mode, query, expected):
     idx = Index.open(spark, seg1_roots[mode])
     assert matches_to_string(idx.search(query)) == expected
 
 
-@pytest.mark.parametrize("mode", ["arrays", "blocks", "groupvarint", "packedints"])
+@pytest.mark.parametrize("mode", ["arrays", "blocks", "groupvarint", "packedints", "binary"])
 @pytest.mark.parametrize("query,expected", GOLDENS_FULL)
 def test_goldens_docs_1_8_incremental(spark, pms_index_roots, mode, query, expected):
     idx = Index.open(spark, pms_index_roots[mode])
