@@ -247,6 +247,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation needs O(component diameter) rounds; a
+        # silent non-convergence would return WRONG clusters
+        edges.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — a "
+            "component has diameter > max_iter; raise max_iter"
+        )
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 

@@ -225,3 +225,16 @@ def test_dup_clusters_and_keep_canonical(spark):
         for r in DD.keep_canonical(docs, DD.dup_clusters(pairs)).collect()
     )
     assert kept == [1, 5, 10, 20, 99]
+
+
+def test_dup_clusters_raises_on_non_convergence(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        DD.dup_clusters(chain, max_iter=2)
+    # enough rounds: whole chain is one component
+    got = {r["cluster_id"] for r in DD.dup_clusters(chain, max_iter=10).collect()}
+    assert got == {1}

@@ -50,6 +50,7 @@ def test_compaction_preserves_results(spark, tmp_path, mode):
         for q in ["WORD(this)", "EDIT(these,2)", "SEQ(WORD(this),WORD(is))"]
     }
     rank_before = [(r["doc_id"], round(r["score"], 9)) for r in idx.rank("WORD(this)", 10).collect()]
+    positions_before = idx.get_positions(3)
 
     manifest = compact_index(spark, root)
     assert len(manifest["segments"]) == 1
@@ -61,3 +62,6 @@ def test_compaction_preserves_results(spark, tmp_path, mode):
         assert matches_to_string(idx2.search(q)) == want, q
     rank_after = [(r["doc_id"], round(r["score"], 9)) for r in idx2.rank("WORD(this)", 10).collect()]
     assert rank_after == rank_before
+    # doc-position vectors survive the decode → re-encode round trip
+    # (blocks-only: sentinel payloads; arrays: sentinel rows)
+    assert idx2.get_positions(3) == positions_before
