@@ -100,7 +100,19 @@ def expand_terms(index, node: AstQuery) -> list[str] | None:
     driver — the Spark analog of the reference's DFA-guided dictionary
     traversal (Collections/TernaryDictionary.cs:182-250, FST.cs:1004-
     1061), whose whole point is to never touch postings of non-matching
-    terms. Returns None when the expansion exceeds MAX_EXPANSIONS."""
+    terms. Returns None when the expansion exceeds MAX_EXPANSIONS.
+
+    Expansions are memoized per index handle (a handle sees immutable
+    committed segments — reopening after an append gets a fresh handle,
+    so staleness cannot occur): a repeated pattern query costs zero
+    extra Spark jobs."""
+    key = (type(node).__name__, node.value, getattr(node, "distance", None))
+    cache = getattr(index, "_expand_cache", None)
+    if cache is None:
+        cache = {}
+        setattr(index, "_expand_cache", cache)
+    if key in cache:
+        return cache[key]
     rows = (
         index.dictionary()
         .where(term_predicate(node))
@@ -108,9 +120,11 @@ def expand_terms(index, node: AstQuery) -> list[str] | None:
         .limit(MAX_EXPANSIONS + 1)
         .collect()
     )
-    if len(rows) > MAX_EXPANSIONS:
-        return None
-    return sorted(r["term"] for r in rows)
+    result = None if len(rows) > MAX_EXPANSIONS else sorted(
+        r["term"] for r in rows
+    )
+    cache[key] = result
+    return result
 
 
 def expanded_postings(index, node: AstQuery) -> DataFrame:

@@ -92,3 +92,14 @@ def test_edit_expands_via_dictionary(spark, pms_index_roots):
 def test_wild_zero_expansion_is_null_query(spark, pms_index_roots):
     idx = Index.open(spark, pms_index_roots["blocks"])
     assert idx.search("WILD(zz*)").count() == 0
+
+
+def test_expand_terms_memoized_per_handle(spark, pms_index_roots):
+    from fulltextsearch_spark.plans.ast import WildAst
+    from fulltextsearch_spark.plans.planner import expand_terms
+
+    idx = Index.open(spark, pms_index_roots["blocks"])
+    first = expand_terms(idx, WildAst("pet*", "pet*"))
+    assert first == ["petro", "petrol", "petrolium"]
+    assert idx._expand_cache[("WildAst", "pet*", None)] is first
+    assert expand_terms(idx, WildAst("pet*", "pet*")) is first  # no new job
