@@ -14,6 +14,7 @@ use. Engine-side entries still run the real tokenizer pandas UDF.
 
 from __future__ import annotations
 
+import atexit
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,17 @@ from fulltextsearch_spark.sources.pages import documents_as_pages
 
 _TOKEN_RE = "[a-z0-9_-]+"
 _IDX_CACHE: dict[str, Index] = {}
+
+
+@atexit.register
+def _cleanup_idx_roots() -> None:
+    """Entry-point indexes build under tempfile.mkdtemp — remove them on
+    interpreter exit so repeated driver runs leave no /tmp residue."""
+    import shutil
+
+    for idx in _IDX_CACHE.values():
+        shutil.rmtree(idx.root, ignore_errors=True)
+    _IDX_CACHE.clear()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,6 +174,19 @@ def q_bm25_topk(spark, sf_dir):
     return idx.rank("OR(WORD(data),WORD(query))", 20).select(
         "doc_id", F.round("score", 6).alias("score")
     )
+
+
+def q_bm25_topk_wand(spark, sf_dir):
+    """M4 ranking via the block-max WAND path (same query/oracle as
+    bm25_topk, force-routed below the cost gate): proves the impact-
+    frontier pruning is score-exact against the DuckDB oracle, not just
+    against our own exhaustive scorer."""
+    from fulltextsearch_spark.operators.bm25 import rank_query
+
+    idx = _index(spark, sf_dir)
+    return rank_query(
+        idx, "OR(WORD(data),WORD(query))", 20, force_wand=True
+    ).select("doc_id", F.round("score", 6).alias("score"))
 
 
 def q_doc_id_assignment(spark, sf_dir):
@@ -315,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_expand": q_wildcard_expand,
         "edit_expand": q_edit_expand,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_wand": q_bm25_topk_wand,
         "doc_id_assignment": q_doc_id_assignment,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -564,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
             HAVING levenshtein(term, 'batch') <= 1
         """,
         "bm25_topk": _BM25_ORACLE,
+        "bm25_topk_wand": _BM25_ORACLE,
         "doc_id_assignment": """
             SELECT 'driver://' || source || '/' || doc_id AS url,
                    row_number() OVER (ORDER BY 'driver://' || source || '/' || doc_id) AS new_id

@@ -11,7 +11,11 @@ corpus, scaled up with the deterministic synthetic webtext generator:
 Env knobs:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     (default 32)
-  FTS_BENCH_DOCS       (default 150000 synthetic docs + the sf documents)
+  FTS_BENCH_DOCS       (default 250000 synthetic docs + the sf documents;
+                        above WAND_MIN_DOCS so the production idx.rank()
+                        cost gate routes flat-term queries through
+                        block-max WAND — the round-2 bench sat below the
+                        gate and never measured the WAND path)
 
 Output: {"metric": ..., "value": <total sec>, "unit": "sec",
          "queries": {...per-phase sec...}, "sf": ...}
@@ -32,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("FTS_BENCH_DOCS", "150000"))
+    n_docs = int(os.environ.get("FTS_BENCH_DOCS", "250000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import functions as F
@@ -91,26 +95,39 @@ def main() -> None:
         }
         for name, q in query_mix.items():
             t0 = time.time()
-            n = idx.search(q).count()
+            # limit+collect: keeps the occurrence-order output sort in
+            # the measurement (a bare .count() lets the optimizer drop
+            # it) while bounding driver transfer — TakeOrderedAndProject
+            idx.search(q).limit(1000).collect()
             timings[name] = round(time.time() - t0, 3)
+        # production rank(): at this corpus size (>= WAND_MIN_DOCS) the
+        # cost gate routes flat WORD/OR-of-WORDs through block-max WAND
         for name, q in {
             "q_bm25_word": "WORD(t42)",
             "q_bm25_or": "OR(WORD(t3),WORD(t11),WORD(t250))",
             "q_bm25_seq": "SEQ(WORD(t0),WORD(t1))",
+            "q_bm25_hot": "WORD(t0)",
         }.items():
             t0 = time.time()
             idx.rank(q, 10).collect()
             timings[name] = round(time.time() - t0, 3)
-        # block-max WAND prune ratio on a skewed rare+mid query (k=5);
-        # BM25's saturating tfn makes per-block bounds nearly uniform on
-        # this Zipf corpus, so the ratio documents how much block-max
-        # helps HERE — test_wand proves pruning fires when block score
-        # spreads exist (short high-tf docs)
-        from fulltextsearch_spark.operators.bm25 import rank_terms_wand
+        # the same hot-term query through the EXHAUSTIVE scorer — the
+        # WAND speedup denominator
+        from fulltextsearch_spark.operators.bm25 import (
+            rank_query_exhaustive,
+            rank_terms_wand,
+        )
 
-        wand_stats: dict = {}
         t0 = time.time()
-        rank_terms_wand(idx, ["zmarkerz", "t500"], 5, stats=wand_stats).collect()
+        rank_query_exhaustive(idx, "WORD(t0)", 10).collect()
+        timings["q_bm25_hot_exhaustive"] = round(time.time() - t0, 3)
+        # prune-ratio evidence (untimed stats re-runs: stats mode adds
+        # two cache-count jobs, so ratios come from separate calls)
+        wand_hot: dict = {}
+        rank_terms_wand(idx, ["t0"], 10, stats=wand_hot).collect()
+        wand_skew: dict = {}
+        t0 = time.time()
+        rank_terms_wand(idx, ["zmarkerz", "t500"], 5, stats=wand_skew).collect()
         timings["q_bm25_wand_skew"] = round(time.time() - t0, 3)
 
         # breadth: pipeline ops over the driver documents table
@@ -138,8 +155,11 @@ def main() -> None:
                     "n_docs": n_docs,
                     "index_docs_per_sec": docs_per_sec,
                     "cpus": cpus,
-                    "wand_blocks_total": wand_stats.get("n_blocks"),
-                    "wand_blocks_decoded": wand_stats.get("n_blocks_decoded"),
+                    "wand_hot_blocks_total": wand_hot.get("n_blocks"),
+                    "wand_hot_blocks_seeded": wand_hot.get("n_blocks_seeded"),
+                    "wand_hot_blocks_decoded": wand_hot.get("n_blocks_decoded"),
+                    "wand_skew_blocks_total": wand_skew.get("n_blocks"),
+                    "wand_skew_blocks_decoded": wand_skew.get("n_blocks_decoded"),
                 }
             )
         )

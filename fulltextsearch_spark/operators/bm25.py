@@ -139,21 +139,36 @@ def _flat_word_terms(ast: AstQuery) -> list[str] | None:
 # scorer's single job is strictly faster (measured: 2x at 50k docs).
 WAND_MIN_DOCS = 200_000
 
+# Blocks decoded in the seed phase (at least k). The threshold θ is the
+# k-th best EXACT score among seed docs: a k-block seed gives θ ≈ the
+# min of the seed blocks' maxima, far below the true k-th score when
+# per-doc scores are compressed (hot terms: BM25's tf saturation packs
+# every block's max into a narrow band), so pruning barely fired
+# (measured 125/159 blocks surviving at 30k docs). Seeding a fixed 32
+# blocks costs ~128k decoded occurrences — noise at WAND scale — and
+# tightens θ to ≈ the true k-th score, since exact impact bounds make
+# the top-ub blocks the ones actually holding the top docs (measured:
+# survivors drop to ≈ the blocks containing true top-k docs).
+WAND_SEED_BLOCKS = 32
+
 
 def _wand_eligible(index, terms: list[str] | None, force: bool | None) -> bool:
-    """WAND needs a blocks-mode index (max_tf metadata) and a
-    single-field corpus: with >1 field a doc's occurrences can split
-    across blocks, making the per-block max_tf bound score-unsafe.
-    Cost-based gate on top: collections below WAND_MIN_DOCS take the
-    exhaustive single-job path (override with ``force``)."""
+    """WAND needs a blocks-mode index. Multi-field corpora additionally
+    need impact frontiers (manifest flag ``block_impacts``): impact tf
+    is the per-doc tf SUMMED over fields and blocks never split a doc,
+    so the bound stays score-safe; without impacts the per-(doc,field)
+    max_tf bound would undercount split docs. Cost-based gate on top:
+    collections below WAND_MIN_DOCS take the exhaustive single-job path
+    (override with ``force``)."""
     from fulltextsearch_spark.sources.index_io import BLOCK_MODES
 
     if force is not None and not force:
         return False
+    mtype = index.manifest["type"] if getattr(index, "manifest", None) else {}
     structural = (
         terms is not None
         and getattr(index, "mode", None) in BLOCK_MODES
-        and index.manifest["type"].get("n_fields", 1) == 1
+        and (mtype.get("n_fields", 1) == 1 or mtype.get("block_impacts"))
     )
     if not structural:
         return False
@@ -192,9 +207,17 @@ def rank_terms_wand(
 ) -> DataFrame:
     """Block-max WAND top-k over a term set (blocks mode) — score-safe.
 
-    Per-block score upper bound: ub = idf(term) · tfn(max_tf, dl→0)
-    (tfn is monotone ↑ in tf and ↓ in dl, so dl→0 majorizes; max_tf is
-    exact because blocks never split a (doc, field) row). Two phases:
+    Per-block score upper bound from the stored impact frontier (the
+    block's Pareto-maximal (doc tf, doc dl) pairs, operators/build.py):
+
+        ub = idf(term) · max_i tfn(imp_tf[i], imp_dl[i])
+
+    evaluated at the live avgdl — the EXACT maximum score any doc in
+    the block can contribute (impact tf sums a doc's fields and blocks
+    never split a doc; impact dl lower-bounds the true dl, and tfn is
+    ↓ in dl, so multi-field bounds only over-estimate). Blocks without
+    impacts (legacy segments) fall back to the dl→0 majorization
+    tfn(max_tf, 0). Two phases:
 
     1. SEED: decode only the k highest-ub blocks, score those docs
        exactly (possibly missing some term contributions — an
@@ -207,30 +230,57 @@ def rank_terms_wand(
        exactly, take top-k.
 
     Verified rank-identical to the exhaustive scorer in tests
-    (test_wand.py). SINGLE-FIELD ONLY: with multiple fields a doc's
-    occurrences of a term can split across blocks, so the per-block
-    max_tf upper bound would undercount the doc's total tf and pruning
-    would no longer be score-safe — multi-field indexes raise and must
-    use the exhaustive path (rank_query routes this automatically).
+    (test_wand.py), including multi-field compound indexes (impact
+    frontiers required — no-impacts multi-field indexes raise and
+    rank_query routes them to the exhaustive path).
 
     ``stats``, when given, receives {"n_blocks": total candidate blocks,
-    "n_blocks_decoded": blocks that survived pruning} for prune-ratio
-    reporting.
+    "n_blocks_seeded": blocks decoded by the seed phase,
+    "n_blocks_decoded": blocks that survived pruning (the prune-phase
+    decode set)} for prune-ratio reporting. The counts read the
+    ALREADY-persisted candidate-block cache (materialized by the ubmax
+    aggregate below), so stats mode adds two cache-read jobs but never
+    re-runs the candidate plan.
+
+    Known looseness (documented, not a defect): multi-term residuals
+    use each other term's GLOBAL ubmax, so same-grade multi-term OR
+    queries rarely prune — doc_grp- or block-range-aligned residuals
+    (classic block-max WAND alignment) are the upgrade path; single-
+    and skew-term queries prune strongly (BENCH).
     """
     manifest = getattr(index, "manifest", None)
-    if manifest is not None and manifest["type"].get("n_fields", 1) != 1:
+    mtype = manifest["type"] if manifest else {}
+    if mtype.get("n_fields", 1) != 1 and not mtype.get("block_impacts"):
         raise ValueError(
-            "block-max WAND requires a single-field index (per-block "
-            "max_tf bound is unsafe when a doc's tf splits across fields)"
+            "block-max WAND on a multi-field index requires impact "
+            "frontiers (per-(doc,field) max_tf is unsafe when a doc's "
+            "tf splits across fields) — rebuild, or use the exhaustive path"
         )
     n_docs, avgdl = index.collection_stats()
+    avgdl = avgdl or 1.0  # empty index: avoid a 0-division in the bound
     dictionary = index.dictionary().where(F.col("term").isin(terms))
     blocks = index.blocks(exact_terms=terms).join(F.broadcast(dictionary), "term")
-    ub = _idf_col(n_docs) * (
-        F.col("max_tf")
-        * (BM25_K1 + 1.0)
-        / (F.col("max_tf") + BM25_K1 * (1.0 - BM25_B))
+    # exact impact bound when the frontier exists; dl→0 majorization
+    # otherwise (array_max over an empty/null array yields null)
+    k1, b = BM25_K1, BM25_B
+    imp_tfn = F.array_max(
+        F.zip_with(
+            "imp_tf",
+            "imp_dl",
+            lambda tf, dl: tf.cast("double")
+            * (k1 + 1.0)
+            / (
+                tf.cast("double")
+                + k1 * (1.0 - b + b * dl.cast("double") / F.lit(avgdl))
+            ),
+        )
+        if "imp_tf" in blocks.columns
+        else F.lit(None).cast("array<double>")
     )
+    fallback_tfn = (
+        F.col("max_tf") * (k1 + 1.0) / (F.col("max_tf") + k1 * (1.0 - b))
+    )
+    ub = _idf_col(n_docs) * F.coalesce(imp_tfn, fallback_tfn)
     blocks = blocks.withColumn("ub", ub).persist()
     try:
         ubmax = {
@@ -258,7 +308,8 @@ def rank_terms_wand(
                 .agg(F.sum("s").alias("score"))
             )
 
-        seed = blocks.orderBy(F.desc("ub")).limit(k)
+        n_seed = max(k, WAND_SEED_BLOCKS)
+        seed = blocks.orderBy(F.desc("ub")).limit(n_seed)
         seed_scores = (
             exact_scores(seed).orderBy(F.desc("score")).limit(k).collect()
         )
@@ -267,6 +318,7 @@ def rank_terms_wand(
             if stats is not None:
                 n_all = blocks.count()
                 stats["n_blocks"] = n_all
+                stats["n_blocks_seeded"] = min(n_seed, n_all)
                 stats["n_blocks_decoded"] = n_all
         else:
             theta = seed_scores[-1]["score"]
@@ -281,6 +333,7 @@ def rank_terms_wand(
             survivors = blocks.where(F.col("ub") >= residual)
             if stats is not None:
                 stats["n_blocks"] = blocks.count()
+                stats["n_blocks_seeded"] = min(n_seed, stats["n_blocks"])
                 stats["n_blocks_decoded"] = survivors.count()
         return (
             exact_scores(survivors)

@@ -124,6 +124,11 @@ def tokenize_postings(
     falls out of the SAME single tokenize pass instead of a second full
     pass over the corpus.
 
+    Every row also carries ``dl`` — the (doc, field)'s token count,
+    known for free inside the pass. build_blocks folds it into exact
+    per-block (tf, dl) impact frontiers for block-max WAND bounds
+    (operators/bm25.py); query-side posting reads never project it.
+
     Implemented with mapInArrow, not mapInPandas: the positions column
     is built as ONE pyarrow ListArray per batch from flat (offsets,
     values) numpy arrays — zero per-row Python lists. The mapInPandas
@@ -131,7 +136,7 @@ def tokenize_postings(
     100k docs), which dominated the stage cost and, being pure memory
     allocation, scaled poorly across cores.
 
-    Output: (term, doc_id, field_id, positions array<int>, tf int).
+    Output: (term, doc_id, field_id, positions array<int>, tf int, dl int).
     """
     import pyarrow as pa
 
@@ -144,7 +149,7 @@ def tokenize_postings(
             doc_ids = rb.column(0).to_numpy()
             texts = rb.column(1).to_pylist()
             terms_parts, docs_parts = [], []
-            row_lens_parts, vals_parts, tf_parts = [], [], []
+            row_lens_parts, vals_parts, tf_parts, dl_parts = [], [], [], []
             for doc_id, text in zip(doc_ids, texts):
                 if text is None:
                     continue
@@ -163,6 +168,7 @@ def tokenize_postings(
                     )
                     vals_parts.append(flat)
                     tf_parts.append(zero_tf)
+                    dl_parts.append(np.array([n], dtype=np.int32))
                 arr = np.array(terms, dtype=object)
                 order = np.argsort(arr, kind="stable")
                 sorted_terms = arr[order]
@@ -178,6 +184,7 @@ def tokenize_postings(
                 row_lens_parts.append(tf.astype(np.int64))
                 vals_parts.append(pos_sorted)
                 tf_parts.append(tf)
+                dl_parts.append(np.full(len(starts), n, dtype=np.int32))
             if not terms_parts:
                 continue
             docs_all = np.concatenate(docs_parts)
@@ -197,12 +204,13 @@ def tokenize_postings(
                     ),
                     positions,
                     pa.array(np.concatenate(tf_parts), type=pa.int32()),
+                    pa.array(np.concatenate(dl_parts), type=pa.int32()),
                 ],
-                names=["term", "doc_id", "field_id", "positions", "tf"],
+                names=["term", "doc_id", "field_id", "positions", "tf", "dl"],
             )
 
     return pages_with_ids.select("doc_id", "text").mapInArrow(
-        run, POSTING_SCHEMA
+        run, BUILD_POSTING_SCHEMA
     )
 
 
@@ -287,9 +295,42 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("n_occ", T.IntegerType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
+        # exact per-block (tf, dl) impact frontier (Lucene-style
+        # "impacts"): the Pareto-maximal (doc tf, doc length) pairs of
+        # the block's docs. Query-side block-max WAND evaluates
+        # max_i idf·tfn(imp_tf[i], imp_dl[i]) at the live avgdl — an
+        # exact, avgdl-independent-at-rest upper score bound (vs the
+        # old dl→0 majorization which was near-uniform on Zipf corpora)
+        T.StructField("imp_tf", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("imp_dl", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
+
+# cap on stored impact pairs per block: longer frontiers collapse runs
+# into (max tf of run, min dl of run) synthetic pairs — each dropped
+# pair stays dominated by a stored one, so the bound stays an upper
+# bound (never an underestimate)
+MAX_IMPACTS = 16
+
+
+def _impact_frontier(
+    tf_doc: np.ndarray, dl_doc: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pareto frontier of (tf, dl): keep pairs not dominated by another
+    pair with tf >= and dl <=. Returned sorted tf-descending (dl is then
+    strictly decreasing too)."""
+    order = np.lexsort((dl_doc, -tf_doc))
+    tf_s, dl_s = tf_doc[order], dl_doc[order]
+    keep = np.empty(len(tf_s), dtype=bool)
+    keep[0] = True
+    keep[1:] = dl_s[1:] < np.minimum.accumulate(dl_s)[:-1]
+    tf_f, dl_f = tf_s[keep], dl_s[keep]
+    if len(tf_f) > MAX_IMPACTS:
+        cuts = np.linspace(0, len(tf_f), MAX_IMPACTS + 1).astype(np.int64)
+        tf_f = np.array([tf_f[s] for s in cuts[:-1]])
+        dl_f = np.array([dl_f[e - 1] for e in cuts[1:]])
+    return tf_f.astype(np.int32), dl_f.astype(np.int32)
 
 # Docs per salt group when assembling blocks. A stop-word term at
 # 10^12 docs is split over doc-ranges of this span, so no task owns a
@@ -339,9 +380,19 @@ def build_blocks(
     Analog of the reference's fixed-block varint codec + skip search
     (PostingListVarIntDeltaWriter.cs:19-33, SURVEY.md §2.C7/D13): each
     block is independently decodable; (first_doc, last_doc) enable
-    block pruning before decode, max_tf enables block-max WAND bounds.
-    Block boundaries never split a (doc, field) pair, so per-block
-    max_tf is an exact bound.
+    block pruning before decode; (imp_tf, imp_dl) impact frontiers give
+    exact block-max WAND score bounds. Block boundaries never split a
+    DOCUMENT (all of a doc's rows for the term — every field — stay in
+    one block), so per-block per-doc summed tf is the doc's true term
+    frequency and the impact bound is score-safe even for multi-field
+    indexes. max_tf is the largest per-doc summed tf in the block.
+
+    Input rows may carry a ``dl`` column (tokenize_postings emits it);
+    impact dl values then bound the doc length from below (for
+    multi-field docs: the sum of the PRESENT fields' lengths <= true
+    dl, which over-estimates tfn — still a safe upper bound). Without
+    ``dl`` the frontier degrades to a single (max_tf, 0) pair — the old
+    dl->0 majorization.
 
     ``bucketed=True``: the input carries the term-hash ``bucket``
     column, the encode shuffle partitions by (bucket, term, doc_grp)
@@ -365,6 +416,8 @@ def build_blocks(
 
         encode_block, _ = _block_codec(codec)
 
+        empty_imp = np.empty(0, dtype=np.int32)
+
         def encode_dp(pdf: pd.DataFrame) -> pd.DataFrame:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
             for row in pdf.itertuples(index=False):
@@ -372,12 +425,18 @@ def build_blocks(
                 if bucketed:
                     out["bucket"].append(int(row.bucket))
                 out["doc_grp"].append(int(row.doc_grp))
-                out["block_no"].append(0)
+                # sentinels reuse block_no to carry the FIELD id (a
+                # sentinel is one whole-vector block per (doc, field),
+                # so it has no block numbering to preserve); legacy
+                # segments wrote 0 here — readers map 0 -> field 1
+                out["block_no"].append(int(getattr(row, "field_id", 0)))
                 out["first_doc"].append(int(row.doc_id))
                 out["last_doc"].append(int(row.doc_id))
                 out["n_occ"].append(len(row.positions))
                 out["n_docs"].append(1)
                 out["max_tf"].append(0)
+                out["imp_tf"].append(empty_imp)
+                out["imp_dl"].append(empty_imp)
                 out["payload"].append(
                     b"" if strip_dp_payload
                     else encode_positions_payload(row.positions)
@@ -393,19 +452,27 @@ def build_blocks(
             docs = pdf["doc_id"].to_numpy(np.int64)
             fields = pdf["field_id"].to_numpy(np.int64)
             tfs = pdf["tf"].to_numpy(np.int64)
+            dls = (
+                pdf["dl"].to_numpy(np.int64)
+                if "dl" in pdf.columns
+                else np.zeros(n_rows, dtype=np.int64)
+            )
             pos_all = np.concatenate(
                 [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
             )
             # occurrence-level views
             occ_docs = np.repeat(docs, tfs)
             occ_fields = np.repeat(fields, tfs)
-            occ_tf = np.repeat(tfs, tfs)
             row_off = np.zeros(n_rows + 1, dtype=np.int64)
             np.cumsum(tfs, out=row_off[1:])
             # (term, doc_grp) group boundaries at row level
             bnd = np.empty(n_rows, dtype=bool)
             bnd[0] = True
             bnd[1:] = (terms[1:] != terms[:-1]) | (grps[1:] != grps[:-1])
+            # document boundaries: group boundary OR doc change (a doc
+            # may own several rows — one per field containing the term)
+            doc_start = bnd.copy()
+            doc_start[1:] |= docs[1:] != docs[:-1]
             g_starts = np.nonzero(bnd)[0]
             g_ends = np.append(g_starts[1:], n_rows)
 
@@ -414,23 +481,32 @@ def build_blocks(
                 term, doc_grp = terms[gs], int(grps[gs])
                 if bucketed:
                     bucket_val = int(buckets[gs])
-                o0, o1 = int(row_off[gs]), int(row_off[ge])
-                # rows are (doc,field)-unique, so row offsets ARE the
-                # (doc,field) boundaries; chunk greedily, never
-                # splitting a row across blocks
+                # row indices starting a doc within this group, plus ge:
+                # chunk greedily at DOC boundaries only, so a doc's rows
+                # (all its fields) never split across blocks
+                dstarts = gs + np.nonzero(doc_start[gs:ge])[0]
+                d_off = np.append(row_off[dstarts], row_off[ge])
+                n_grp_docs = len(dstarts)
                 bno = 0
-                s_row = gs
-                while s_row < ge:
-                    e_row = int(
+                di = 0
+                while di < n_grp_docs:
+                    dj = int(
                         np.searchsorted(
-                            row_off, row_off[s_row] + block_max_occ, side="right"
+                            d_off, d_off[di] + block_max_occ, side="right"
                         )
                         - 1
                     )
-                    if e_row <= s_row:  # one oversized (doc,field) row
-                        e_row = s_row + 1
-                    e_row = min(e_row, ge)
+                    if dj <= di:  # one oversized document
+                        dj = di + 1
+                    dj = min(dj, n_grp_docs)
+                    s_row = int(dstarts[di])
+                    e_row = int(dstarts[dj]) if dj < n_grp_docs else ge
                     s, e = int(row_off[s_row]), int(row_off[e_row])
+                    # per-doc summed tf + lower-bound dl for the impacts
+                    loc_starts = dstarts[di:dj] - s_row
+                    tf_doc = np.add.reduceat(tfs[s_row:e_row], loc_starts)
+                    dl_doc = np.add.reduceat(dls[s_row:e_row], loc_starts)
+                    imp_tf, imp_dl = _impact_frontier(tf_doc, dl_doc)
                     out["term"].append(term)
                     if bucketed:
                         out["bucket"].append(bucket_val)
@@ -439,15 +515,15 @@ def build_blocks(
                     out["first_doc"].append(int(occ_docs[s]))
                     out["last_doc"].append(int(occ_docs[e - 1]))
                     out["n_occ"].append(e - s)
-                    out["n_docs"].append(
-                        int(np.count_nonzero(np.diff(occ_docs[s:e])) + 1)
-                    )
-                    out["max_tf"].append(int(occ_tf[s:e].max()))
+                    out["n_docs"].append(dj - di)
+                    out["max_tf"].append(int(tf_doc.max()))
+                    out["imp_tf"].append(imp_tf)
+                    out["imp_dl"].append(imp_dl)
                     out["payload"].append(
                         encode_block(occ_docs[s:e], occ_fields[s:e], pos_all[s:e])
                     )
                     bno += 1
-                    s_row = e_row
+                    di = dj
             return pd.DataFrame(out)
 
         # a (term, doc_grp) group may span Arrow batches (mapInPandas
@@ -509,6 +585,13 @@ POSTING_SCHEMA = T.StructType(
     ]
 )
 
+# build-side posting rows additionally carry the (doc, field) token
+# count so block encoding can store exact (tf, dl) impact frontiers;
+# the committed/query-side posting schema stays POSTING_SCHEMA
+BUILD_POSTING_SCHEMA = T.StructType(
+    [*POSTING_SCHEMA.fields, T.StructField("dl", T.IntegerType(), False)]
+)
+
 
 DOC_POSITIONS_SCHEMA = T.StructType(
     [
@@ -519,29 +602,34 @@ DOC_POSITIONS_SCHEMA = T.StructType(
 )
 
 
-def decode_dp_blocks(blocks: DataFrame, field_id: int = 1) -> DataFrame:
+def decode_dp_blocks(blocks: DataFrame) -> DataFrame:
     """Sentinel block rows → (doc_id, field_id, positions) — the
-    doc-positions table view over a blocks-only index layout."""
+    doc-positions table view over a blocks-only index layout. The
+    field id rides in the sentinel's block_no (0 in legacy segments =
+    field 1)."""
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fulltextsearch_spark.operators.codec import decode_positions_payload
 
         for pdf in pdfs:
-            docs, vecs = [], []
-            for doc_id, payload in zip(pdf["first_doc"], pdf["payload"]):
+            docs, fids, vecs = [], [], []
+            for doc_id, fid, payload in zip(
+                pdf["first_doc"], pdf["block_no"], pdf["payload"]
+            ):
                 docs.append(int(doc_id))
+                fids.append(max(int(fid), 1))
                 vecs.append(
                     decode_positions_payload(bytes(payload)).astype(np.int32).tolist()
                 )
             yield pd.DataFrame(
                 {
                     "doc_id": docs,
-                    "field_id": np.full(len(docs), field_id, dtype=np.int32),
+                    "field_id": np.array(fids, dtype=np.int32),
                     "positions": vecs,
                 }
             )
 
-    return blocks.select("first_doc", "payload").mapInPandas(
+    return blocks.select("first_doc", "block_no", "payload").mapInPandas(
         run, DOC_POSITIONS_SCHEMA
     )
 
@@ -561,7 +649,9 @@ def blocks_to_postings(blocks: DataFrame, codec: str = "blocks") -> DataFrame:
                     {
                         "term": [DP_TERM] * len(dp),
                         "doc_id": dp["first_doc"].astype("int64").tolist(),
-                        "field_id": np.ones(len(dp), dtype=np.int32),
+                        "field_id": np.maximum(
+                            dp["block_no"].to_numpy(np.int32), 1
+                        ),
                         "positions": [
                             decode_positions_payload(bytes(p)).astype(np.int32).tolist()
                             for p in dp["payload"]
@@ -576,7 +666,7 @@ def blocks_to_postings(blocks: DataFrame, codec: str = "blocks") -> DataFrame:
         codec=codec,
     )
     return occ_rows.unionByName(
-        dp_rows.select("term", "first_doc", "payload").mapInPandas(
+        dp_rows.select("term", "first_doc", "block_no", "payload").mapInPandas(
             run, POSTING_SCHEMA
         )
     )

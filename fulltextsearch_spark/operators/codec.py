@@ -271,6 +271,10 @@ def encode_positions_payload(vec) -> bytes:
 
 
 def decode_positions_payload(payload: bytes) -> np.ndarray:
+    if len(payload) == 0:
+        # stripped payload (keep_positions=False builds keep the
+        # sentinel METADATA — n_occ still yields dl — but no vector)
+        return np.empty(0, dtype=np.int64)
     v = varint_decode(payload)
     n = int(v[0])
     return np.cumsum(v[1 : 1 + n].astype(np.int64))

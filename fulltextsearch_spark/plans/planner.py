@@ -127,6 +127,30 @@ def expand_terms(index, node: AstQuery) -> list[str] | None:
     return result
 
 
+def term_dfs(index, terms: list[str]) -> dict[str, int | None]:
+    """Document frequencies for exact terms, memoized per index handle
+    (None = term absent). Shares the handle-lifetime caching rationale
+    of expand_terms: committed segments are immutable, and repeated
+    phrase queries must not re-run the dictionary lookup job."""
+    cache = getattr(index, "_df_cache", None)
+    if cache is None:
+        cache = {}
+        setattr(index, "_df_cache", cache)
+    want = set(terms)
+    missing = [t for t in want if t not in cache]
+    if missing:
+        found = {
+            r["term"]: int(r["df"])
+            for r in index.dictionary()
+            .where(F.col("term").isin(missing))
+            .select("term", "df")
+            .collect()
+        }
+        for t in missing:
+            cache[t] = found.get(t)
+    return {t: cache[t] for t in want}
+
+
 def expanded_postings(index, node: AstQuery) -> DataFrame:
     """Posting rows for a terminal node — bucket-pruned for exact terms.
 
@@ -168,13 +192,8 @@ def _phrase(index, terms: list[str]) -> DataFrame:
     drives from the shortest posting list. A term missing from the
     dictionary short-circuits to the empty match stream.
     """
-    df_map = {
-        r["term"]: r["df"]
-        for r in index.dictionary()
-        .where(F.col("term").isin(list(set(terms))))
-        .collect()
-    }
-    if any(t not in df_map for t in terms):
+    df_map = term_dfs(index, terms)
+    if any(df_map[t] is None for t in terms):
         return _empty(index)
     legs = []
     for i, term in enumerate(terms):

@@ -93,3 +93,35 @@ def assign_dense_ids_with_counts(
         id_col, (offset_col + local_idx).cast("long")
     ).drop("_pid")
     return out, counts
+
+
+def validate_dense_ids(
+    df: DataFrame, id_col: str = "doc_id", start: int = 1
+) -> None:
+    """Assert the assignment produced EXACTLY start..start+n-1.
+
+    `assign_dense_ids` reads monotonically_increasing_id's bit layout
+    (partition id high bits, consecutive record number in the low 33),
+    which Spark documents only as "the current implementation". This
+    check makes a silent layout change in a future Spark version fail
+    loudly instead of mis-assigning every doc id engine-wide. One cheap
+    aggregate job — run it in tests/debug builds (test_ids_and_resume)
+    and after Spark upgrades, not per build.
+    """
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.count_distinct(id_col).alias("nd"),
+    ).collect()[0]
+    n = int(r["n"])
+    ok = (
+        n == int(r["nd"])
+        and (n == 0 or (int(r["lo"]) == start and int(r["hi"]) == start + n - 1))
+    )
+    if not ok:
+        raise AssertionError(
+            "dense id invariant violated (monotonically_increasing_id "
+            f"layout change?): n={n} distinct={r['nd']} "
+            f"range=[{r['lo']},{r['hi']}] expected [{start},{start + n - 1}]"
+        )

@@ -47,6 +47,20 @@ from fulltextsearch_spark.sources.ids import assign_dense_ids_with_counts
 
 MANIFEST = "manifest.json"
 DEFAULT_BUCKETS = 8
+# auto-scaling target: enough buckets that a point lookup prunes to
+# ~this many docs' worth of postings per segment; capped at 4096
+# (SCALE.md's prescription for 10^12 docs — reached at ~67M docs)
+DOCS_PER_BUCKET = 16_384
+MAX_BUCKETS = 4096
+
+
+def pick_n_buckets(n_docs: int) -> int:
+    """Bucket count for a corpus of ``n_docs`` (first-segment estimate):
+    next power of two of n_docs / DOCS_PER_BUCKET, clamped to
+    [DEFAULT_BUCKETS, MAX_BUCKETS]. Appends reuse the manifest's value
+    (the bucket hash must stay stable for the index's lifetime)."""
+    target = max(DEFAULT_BUCKETS, -(-n_docs // DOCS_PER_BUCKET))
+    return min(MAX_BUCKETS, 1 << (target - 1).bit_length())
 # modes whose query path reads compressed block rows; the mode name
 # picks the payload codec (delta+varint / group-varint / packed-ints /
 # uncompressed binary)
@@ -105,12 +119,13 @@ def build_index(
     pages: DataFrame,
     root: str,
     mode: str = "arrays",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     input_desc: str = "<inline>",
     keep_text: bool = True,
     keep_positions: bool = True,
     batch_key: str | None = None,
     preassigned_ids: bool = False,
+    field_cols: list[str] | None = None,
 ) -> dict:
     """Append one index segment built from ``pages``; returns the manifest.
 
@@ -127,6 +142,15 @@ def build_index(
     input's existing ``doc_id`` column (ids must be positive and unique;
     density is not required).
 
+    ``n_buckets=None`` (default) auto-scales the term-hash bucket count
+    to the first segment's size (pick_n_buckets); appends always reuse
+    the manifest's committed value.
+
+    ``field_cols`` builds a MULTI-FIELD compound index (reference
+    AddCompound, FullTextIndexBuilder.cs:50-64): each listed text
+    column becomes field_id 1..N. Blocks never split a document, so
+    block-max WAND bounds stay score-safe (operators/build.py).
+
     Driver-action budget (scaling efficiency): one id job, one staged
     postings write (THE tokenize pass — doc positions ride along as
     sentinel rows), one blocks write (blocks mode), dictionary /
@@ -136,48 +160,43 @@ def build_index(
     """
     t0 = time.time()
     os.makedirs(root, exist_ok=True)
-    manifest = _read_manifest(root) or {
-        "version": 1,
-        "type": {
-            "engine": "fulltextsearch_spark",
-            "mode": mode,
-            "n_buckets": n_buckets,
-            # build_index tokenizes one text column => single-field;
-            # WAND block-max pruning relies on this (operators/bm25.py)
-            "n_fields": 1,
-            # doc-position vectors live as sentinel rows (term="") in
-            # the main table's extra bucket — one tokenize pass
-            "dp_sentinel": True,
-            # blocks modes store ONLY the blocks table (no staged
-            # array-postings); dictionary/doc_stats derive from block
-            # metadata and doc positions from sentinel block payloads
-            "blocks_only": mode in BLOCK_MODES,
-        },
-        "tokenizer": {"max_token_size": MAX_TOKEN_SIZE},
-        "next_doc_id": 1,
-        "segments": [],
-    }
-    if manifest["type"]["mode"] != mode:
-        raise ValueError(
-            f"index at {root} was built with mode={manifest['type']['mode']!r}"
-        )
-    if batch_key is not None and any(
+    text_cols = list(field_cols) if field_cols else ["text"]
+    n_fields = len(text_cols)
+    manifest = _read_manifest(root)
+    if manifest is not None:
+        if manifest["type"]["mode"] != mode:
+            raise ValueError(
+                f"index at {root} was built with mode={manifest['type']['mode']!r}"
+            )
+        if manifest["type"].get("keep_positions", True) != keep_positions:
+            raise ValueError(
+                "keep_positions must match the index's original build "
+                f"(manifest: {manifest['type'].get('keep_positions', True)})"
+            )
+        if manifest["type"].get("n_fields", 1) != n_fields:
+            raise ValueError(
+                f"index at {root} has {manifest['type'].get('n_fields', 1)} "
+                f"field(s); got {n_fields}"
+            )
+        if n_buckets is not None and n_buckets != manifest["type"]["n_buckets"]:
+            raise ValueError(
+                "n_buckets is fixed at index creation "
+                f"(manifest: {manifest['type']['n_buckets']})"
+            )
+    if manifest is not None and batch_key is not None and any(
         s.get("batch_key") == batch_key
         for s in manifest["segments"]
         if s["committed"]
     ):
         return manifest  # idempotent: this batch is already committed
-    seg_id = 1 + max((s["id"] for s in manifest["segments"]), default=0)
-    seg_name = f"seg_{seg_id:05d}"
-    seg_path = os.path.join(root, seg_name)
-    start_id = manifest["next_doc_id"]
+    start_id = manifest["next_doc_id"] if manifest else 1
 
     # prune to the columns the index actually stores BEFORE any shuffle:
     # at web scale `html` dwarfs everything else and must not ride
     # through the id-assignment exchange
     meta_cols = [c for c in ("url", "warc_ts", "lang", "meta") if c in pages.columns]
     if preassigned_ids:
-        with_ids = pages.select("doc_id", *meta_cols, "text").persist()
+        with_ids = pages.select("doc_id", *meta_cols, *text_cols).persist()
         part_rows = [
             {"pid": r["_p"], "rows": r["n"], "min_doc": r["lo"], "max_doc": r["hi"]}
             for r in with_ids.groupBy(F.spark_partition_id().alias("_p"))
@@ -194,7 +213,7 @@ def build_index(
         order_col = "doc_id (preassigned)"
     else:
         with_ids, counts = assign_dense_ids_with_counts(
-            pages.select(*meta_cols, "text"), "url", "doc_id", start=start_id
+            pages.select(*meta_cols, *text_cols), "url", "doc_id", start=start_id
         )
         part_rows = [
             {"pid": pid, "rows": n} for pid, n in sorted(counts.items())
@@ -203,15 +222,58 @@ def build_index(
         id_lo, id_hi = start_id, start_id + n_docs - 1
         order_col = "url"
 
+    if manifest is None:
+        manifest = {
+            "version": 1,
+            "type": {
+                "engine": "fulltextsearch_spark",
+                "mode": mode,
+                "n_buckets": n_buckets if n_buckets else pick_n_buckets(n_docs),
+                "n_fields": n_fields,
+                # doc-position vectors live as sentinel rows (term="")
+                # in the main table's extra bucket — one tokenize pass
+                "dp_sentinel": True,
+                "keep_positions": keep_positions,
+                # blocks modes store ONLY the blocks table (no staged
+                # array-postings); dictionary/doc_stats derive from
+                # block metadata, doc positions from sentinel payloads
+                "blocks_only": mode in BLOCK_MODES,
+                # blocks carry exact (tf, dl) impact frontiers — the
+                # block-max WAND bound source (operators/bm25.py)
+                "block_impacts": mode in BLOCK_MODES,
+            },
+            "tokenizer": {"max_token_size": MAX_TOKEN_SIZE},
+            "next_doc_id": 1,
+            "segments": [],
+        }
+    n_buckets = manifest["type"]["n_buckets"]
+    seg_id = 1 + max((s["id"] for s in manifest["segments"]), default=0)
+    seg_name = f"seg_{seg_id:05d}"
+    seg_path = os.path.join(root, seg_name)
+
     # posting rows assembled per doc inside the tokenize pass — no
     # groupBy shuffle (tokenize_postings docstring); doc-position
     # sentinel rows (term="") land in their own bucket = n_buckets so
     # term-bucket pruning never reads them. Blocks modes always emit
     # sentinel rows: their METADATA (n_occ = vector length) is the
     # doc-length table even when payloads are stripped.
-    tokenized = B.tokenize_postings(
-        with_ids, emit_doc_positions=keep_positions or mode in BLOCK_MODES
-    ).withColumn(
+    emit_dp = keep_positions or mode in BLOCK_MODES
+    if n_fields == 1:
+        tokenized = B.tokenize_postings(
+            with_ids.select("doc_id", F.col(text_cols[0]).alias("text")),
+            emit_doc_positions=emit_dp,
+        )
+    else:
+        parts = [
+            B.tokenize_postings(
+                with_ids.select("doc_id", F.col(c).alias("text")),
+                field_id=fid,
+                emit_doc_positions=emit_dp,
+            )
+            for fid, c in enumerate(text_cols, start=1)
+        ]
+        tokenized = reduce(DataFrame.unionByName, parts)
+    tokenized = tokenized.withColumn(
         "bucket",
         F.when(F.col("term") == B.DP_TERM, F.lit(n_buckets)).otherwise(
             term_bucket(F.col("term"), n_buckets)
@@ -241,41 +303,61 @@ def build_index(
         real_blocks = blocks_committed.where(F.col("bucket") < n_buckets)
 
         def _write_dictionary() -> None:
+            # df = Σ n_docs is exact even for multi-field: a document
+            # never splits across blocks (build_blocks doc-boundary
+            # chunking) and (doc_grp, segment) doc ranges are disjoint
             real_blocks.groupBy("term").agg(
                 F.sum("n_docs").cast("long").alias("df"),
                 F.sum("n_occ").cast("long").alias("cf"),
             ).write.mode("overwrite").parquet(dict_path)
 
         def _write_doc_stats() -> None:
-            blocks_committed.where(F.col("bucket") == n_buckets).select(
-                F.col("first_doc").alias("doc_id"),
-                (F.col("n_occ") / 2).cast("long").alias("dl"),
-            ).write.mode("overwrite").parquet(os.path.join(seg_path, "doc_stats"))
+            sent = blocks_committed.where(F.col("bucket") == n_buckets)
+            if n_fields == 1:
+                stats_df = sent.select(
+                    F.col("first_doc").alias("doc_id"),
+                    (F.col("n_occ") / 2).cast("long").alias("dl"),
+                )
+            else:  # one sentinel per (doc, field): dl = Σ over fields
+                stats_df = sent.groupBy(
+                    F.col("first_doc").alias("doc_id")
+                ).agg((F.sum("n_occ") / 2).cast("long").alias("dl"))
+            stats_df.write.mode("overwrite").parquet(
+                os.path.join(seg_path, "doc_stats")
+            )
 
     else:
         # arrays layout: stage the posting rows as the queryable table;
         # everything downstream derives from the committed postings —
-        # one tokenize pass total (the reference tokenizes once too, §3.1)
-        _sorted_bucketed(tokenized, "doc_id").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(os.path.join(seg_path, "postings"))
+        # one tokenize pass total (the reference tokenizes once too, §3.1).
+        # dl is a build-side column for block impact bounds; the arrays
+        # layout has no blocks, so drop it before the write.
+        _sorted_bucketed(tokenized.drop("dl"), "doc_id").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(seg_path, "postings"))
         staged = spark.read.parquet(os.path.join(seg_path, "postings"))
         postings_committed = staged.where(F.col("bucket") < n_buckets)
 
         def _write_dictionary() -> None:
-            # single_field: build_index tokenizes one text column, so
-            # rows are (term, doc)-unique — no count_distinct expand
-            B.build_dictionary(postings_committed, single_field=True).write.mode(
-                "overwrite"
-            ).parquet(dict_path)
+            # single_field: one text column => rows are (term, doc)-
+            # unique — no count_distinct expand needed
+            B.build_dictionary(
+                postings_committed, single_field=n_fields == 1
+            ).write.mode("overwrite").parquet(dict_path)
 
         def _write_doc_stats() -> None:
             if keep_positions:
                 # dl = half the sentinel row's flat position vector: a
                 # narrow projection of ONE bucket directory — no agg
-                doc_stats = staged.where(F.col("bucket") == n_buckets).select(
-                    "doc_id",
-                    (F.size("positions") / 2).cast("long").alias("dl"),
+                sent = staged.where(F.col("bucket") == n_buckets).select(
+                    "doc_id", (F.size("positions") / 2).cast("long").alias("dl")
+                )
+                doc_stats = (
+                    sent
+                    if n_fields == 1
+                    else sent.groupBy("doc_id").agg(
+                        F.sum("dl").cast("long").alias("dl")
+                    )
                 )
             else:
                 doc_stats = B.doc_stats_from_postings(postings_committed)
@@ -284,7 +366,7 @@ def build_index(
             )
 
     def _write_docs() -> None:
-        docs_cols = ["doc_id", *meta_cols] + (["text"] if keep_text else [])
+        docs_cols = ["doc_id", *meta_cols] + (text_cols if keep_text else [])
         with_ids.select(*docs_cols).write.mode("overwrite").parquet(
             os.path.join(seg_path, "docs")
         )
@@ -336,7 +418,9 @@ def build_index(
     return manifest
 
 
-def compact_index(spark: SparkSession, root: str) -> dict:
+def compact_index(
+    spark: SparkSession, root: str, _stop_after_buckets: int | None = None
+) -> dict:
     """Merge all committed segments into one (segment compaction).
 
     The query-side union of segments mirrors the reference's posting
@@ -345,46 +429,102 @@ def compact_index(spark: SparkSession, root: str) -> dict:
     global and disjoint across segments, so postings merge by union;
     blocks/dictionary/stats are rebuilt from the merged postings.
     Commits via the same atomic manifest swap.
+
+    Blocks-only indexes compact BOUNDED: term-hash bucket directories
+    are independent, so each bucket merges as its own job and commits
+    its completion to the manifest ("compaction" record) — a killed
+    compaction of a 1000-segment index resumes at the first unfinished
+    bucket instead of redoing a full-index rewrite (the failure domain
+    is one bucket, ~1/n_buckets of the data). Doc-position sentinel
+    rows pass through UNCHANGED (no decode/re-encode): they are one
+    immutable block per (doc, field), which also preserves stripped
+    (keep_positions=False) payloads and their dl-bearing metadata.
+    ``_stop_after_buckets`` is a test hook: stop (cleanly) after N
+    bucket merges, leaving the in-progress record for a resume call.
     """
     idx = Index.open(spark, root)
     manifest = idx.manifest
     old = [s for s in manifest["segments"] if s["committed"]]
-    if len(old) <= 1:
+    if len(old) <= 1 and "compaction" not in manifest:
         return manifest
-    seg_id = 1 + max(s["id"] for s in manifest["segments"])
-    seg_name = f"seg_{seg_id:05d}"
-    seg_path = os.path.join(root, seg_name)
     t0 = time.time()
 
     single_field = manifest["type"].get("n_fields", 1) == 1
+    n_b = idx.n_buckets
     if manifest["type"].get("blocks_only"):
-        # blocks-only layout: decode the union of segment blocks back
-        # to posting rows (sentinel rows ride along) and re-encode one
-        # merged blocks table; dictionary/doc stats come from the
-        # merged block metadata exactly as in build_index
-        posting_rows = B.blocks_to_postings(
-            idx._union("blocks"), codec=idx.mode
-        ).withColumn(
-            "bucket",
-            F.when(F.col("term") == B.DP_TERM, F.lit(idx.n_buckets)).otherwise(
-                term_bucket(F.col("term"), idx.n_buckets)
-            ),
-        )
-        B.build_blocks(posting_rows, codec=idx.mode, bucketed=True).write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(os.path.join(seg_path, "blocks"))
+        src_ids = sorted(s["id"] for s in old)
+        comp = manifest.get("compaction")
+        if comp is None or comp.get("sources") != src_ids:
+            # fresh compaction (or the segment set changed under a
+            # stale in-progress record): allocate a new segment id
+            seg_id = 1 + max(
+                [s["id"] for s in manifest["segments"]]
+                + ([comp["id"]] if comp else [])
+            )
+            comp = {
+                "id": seg_id,
+                "path": f"seg_{seg_id:05d}",
+                "sources": src_ids,
+                "done_buckets": [],
+            }
+            manifest["compaction"] = comp
+            _write_manifest(root, manifest)
+        seg_id = comp["id"]
+        seg_name = comp["path"]
+        seg_path = os.path.join(root, seg_name)
+        done = set(comp["done_buckets"])
+        doc_stats = idx.doc_stats()  # restores dl for impact frontiers
+        imp_empty = F.array().cast("array<int>")
+        merged = 0
+        for b in range(n_b + 1):
+            if b in done:
+                continue
+            if _stop_after_buckets is not None and merged >= _stop_after_buckets:
+                return manifest  # in-progress record stays; resume later
+            bucket_dir = os.path.join(seg_path, "blocks", f"bucket={b}")
+            src = idx._union("blocks").where(F.col("bucket") == b)
+            if b == n_b:
+                # sentinel bucket: pass block rows through unchanged
+                out = src.select(
+                    *[
+                        F.coalesce(F.col(f.name), imp_empty).alias(f.name)
+                        if f.name in ("imp_tf", "imp_dl")
+                        else f.name
+                        for f in B.BLOCK_SCHEMA.fields
+                    ]
+                )
+            else:
+                rows = B.decode_blocks(
+                    src.select("term", "payload"), codec=idx.mode
+                ).join(doc_stats, "doc_id")  # dl back for impact bounds
+                out = B.build_blocks(rows, codec=idx.mode)
+            out.write.mode("overwrite").parquet(bucket_dir)
+            comp["done_buckets"] = sorted(done | {b})
+            done.add(b)
+            merged += 1
+            _write_manifest(root, manifest)
         blocks_committed = spark.read.parquet(os.path.join(seg_path, "blocks"))
-        blocks_committed.where(F.col("bucket") < idx.n_buckets).groupBy(
-            "term"
-        ).agg(
+        blocks_committed.where(F.col("bucket") < n_b).groupBy("term").agg(
             F.sum("n_docs").cast("long").alias("df"),
             F.sum("n_occ").cast("long").alias("cf"),
         ).write.mode("overwrite").parquet(os.path.join(seg_path, "dictionary"))
-        blocks_committed.where(F.col("bucket") == idx.n_buckets).select(
-            F.col("first_doc").alias("doc_id"),
-            (F.col("n_occ") / 2).cast("long").alias("dl"),
-        ).write.mode("overwrite").parquet(os.path.join(seg_path, "doc_stats"))
+        sent = blocks_committed.where(F.col("bucket") == n_b)
+        if single_field:
+            stats_df = sent.select(
+                F.col("first_doc").alias("doc_id"),
+                (F.col("n_occ") / 2).cast("long").alias("dl"),
+            )
+        else:
+            stats_df = sent.groupBy(F.col("first_doc").alias("doc_id")).agg(
+                (F.sum("n_occ") / 2).cast("long").alias("dl")
+            )
+        stats_df.write.mode("overwrite").parquet(
+            os.path.join(seg_path, "doc_stats")
+        )
     else:
+        seg_id = 1 + max(s["id"] for s in manifest["segments"])
+        seg_name = f"seg_{seg_id:05d}"
+        seg_path = os.path.join(root, seg_name)
         postings = idx._union("postings")
         # sentinel doc-position rows (bucket == n_buckets) travel with
         # the postings union unchanged — no separate doc_positions table
@@ -419,6 +559,7 @@ def compact_index(spark: SparkSession, root: str) -> dict:
         .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"))
         .collect()[0]
     )
+    manifest.pop("compaction", None)
     manifest["segments"] = [
         {
             "id": seg_id,
@@ -457,6 +598,7 @@ class Index:
     _dictionary_cache: DataFrame | None = field(repr=False, default=None)
     _doc_stats_cache: DataFrame | None = field(repr=False, default=None)
     _collection_stats: tuple[int, float] | None = field(repr=False, default=None)
+    _table_cache: dict = field(repr=False, default_factory=dict)
 
     @classmethod
     def open(cls, spark: SparkSession, root: str) -> "Index":
@@ -476,8 +618,22 @@ class Index:
         ]
 
     def _union(self, table: str) -> DataFrame:
-        dfs = [self.spark.read.parquet(p) for p in self._seg_paths(table)]
-        return reduce(DataFrame.unionByName, dfs)
+        """Merged view of a table across committed segments.
+
+        Memoized per handle: every query reuses ONE analyzed relation
+        per table instead of re-resolving parquet footers/partitions on
+        each call — a measurable share of small-query latency. Segments
+        are immutable once committed, so the handle never goes stale.
+        allowMissingColumns: optional columns added over the index's
+        lifetime (per-doc `meta` on docs, impact arrays on blocks)
+        null-fill for segments written before the column existed.
+        """
+        if table not in self._table_cache:
+            dfs = [self.spark.read.parquet(p) for p in self._seg_paths(table)]
+            self._table_cache[table] = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+            )
+        return self._table_cache[table]
 
     @property
     def mode(self) -> str:
@@ -512,6 +668,11 @@ class Index:
         return self._union("docs")
 
     def doc_positions(self) -> DataFrame:
+        if not self.manifest["type"].get("keep_positions", True):
+            raise ValueError(
+                "positions were not kept at build time "
+                "(index built with keep_positions=False)"
+            )
         if self.manifest["type"].get("blocks_only"):
             return B.decode_dp_blocks(
                 self._union("blocks").where(F.col("bucket") == self.n_buckets)
