@@ -2,10 +2,13 @@
 columns with typed metadata.
 
 The Spark-side machinery (schemas, batch shapes, partition-aware
-mapInPandas decode) is real and tested; the actual media decode is
-STUBBED deterministically because no image/audio libraries exist in
-this container — swap `_decode_image_stub` for a PIL/ffmpeg call in a
-real deployment (signature and batching stay identical).
+mapInPandas decode) is real and tested. The image decode kernel is
+import-guarded: environments with Pillow get a real PIL decode
+(grayscale resize → normalized feature vector, per-payload failure
+isolation); this container has no media libraries, so the default
+`decoder="auto"` falls back to a deterministic md5-seeded stub —
+signature and batching identical either way. Audio/video decode would
+follow the same pattern with ffmpeg.
 """
 
 from __future__ import annotations
@@ -47,9 +50,8 @@ FEATURE_SCHEMA = T.StructType(
 def _decode_image_stub(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic fake decode: md5-seeded pseudo-feature.
 
-    REAL IMPLEMENTATION would be: PIL.Image.open(BytesIO(payload)) →
-    resize → np.asarray → feature extractor. Not available in this
-    container; raise-or-fake is controlled by the caller.
+    Used when PIL is absent (this container) or ``decoder="stub"`` —
+    keeps the batching/scheduling path testable without media libs.
     """
     digest = hashlib.md5(payload).digest()
     seed = int.from_bytes(digest[:8], "little")
@@ -57,23 +59,75 @@ def _decode_image_stub(payload: bytes, dim: int = 16) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def _decode_image_pil(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Real decode: PIL open → grayscale → resize to a dim×1 strip →
+    normalized float vector. Import happens in the caller so absence
+    degrades to the stub instead of failing the executor."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        gray = im.convert("L").resize((dim, 1))
+        return (np.asarray(gray, dtype=np.float32).reshape(dim)) / 255.0
+
+
+def _resolve_decoder(decoder: str):
+    """-> (decode_fn, is_real). "auto" probes for PIL once per executor
+    process; "pil" requires it; "stub" forces the deterministic fake."""
+    if decoder == "stub":
+        return _decode_image_stub, False
+    try:
+        import PIL  # noqa: F401
+
+        return _decode_image_pil, True
+    except ImportError:
+        if decoder == "pil":
+            raise ImportError(
+                "decoder='pil' requested but Pillow is not installed in "
+                "this environment — install Pillow or use decoder='auto' "
+                "(falls back to the deterministic stub)"
+            )
+        return _decode_image_stub, False
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, decoder: str = "auto"
+) -> DataFrame:
     """Binary payloads → feature vectors via Arrow-batched mapInPandas.
+
+    ``decoder``: "auto" uses PIL when importable on the executor and
+    the deterministic stub otherwise; "pil" requires PIL (clear error
+    if missing); "stub" forces the fake. With a real decoder, payloads
+    that fail to decode yield a zero vector with ``decode_ok=False``
+    instead of crashing the task — at 100 TB some inputs ARE corrupt.
 
     Batch shape: one pandas DataFrame per Arrow batch; payloads stay
     bytes end-to-end (no base64 round trips).
     """
+    if decoder not in ("auto", "pil", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pil":
+        _resolve_decoder("pil")  # fail fast on the driver, not per-task
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode, is_real = _resolve_decoder(decoder)
         for pdf in batches:
-            feats = [
-                _decode_image_stub(bytes(p), dim).tolist() for p in pdf["payload"]
-            ]
+            feats, oks = [], []
+            for p in pdf["payload"]:
+                try:
+                    feats.append(decode(bytes(p), dim).tolist())
+                    oks.append(True)
+                except Exception:
+                    if not is_real:
+                        raise  # the stub never fails; surface real bugs
+                    feats.append([0.0] * dim)
+                    oks.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "feature": feats,
-                    "decode_ok": [True] * len(pdf),
+                    "decode_ok": oks,
                 }
             )
 

@@ -193,6 +193,37 @@ def test_multimodal_feature_extraction(spark):
     assert again == first
 
 
+def test_multimodal_decoder_guard(spark):
+    """decoder='auto' falls back to the deterministic stub where PIL is
+    absent (this container); decoder='pil' fails fast with a clear
+    message; decoder='stub' forces the fake even with PIL present."""
+    media = MM.synth_media(spark, 6)
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    stub = {
+        r["media_id"]: r["feature"]
+        for r in MM.extract_features(media, dim=8, decoder="stub").collect()
+    }
+    auto = {
+        r["media_id"]: r["feature"]
+        for r in MM.extract_features(media, dim=8, decoder="auto").collect()
+    }
+    if not has_pil:
+        assert auto == stub
+        with pytest.raises(ImportError, match="Pillow"):
+            MM.extract_features(media, dim=8, decoder="pil")
+    else:
+        # synth payloads are not real images: real decode flags them
+        rows = MM.extract_features(media, dim=8, decoder="pil").collect()
+        assert all(not r["decode_ok"] for r in rows)
+    with pytest.raises(ValueError, match="decoder"):
+        MM.extract_features(media, dim=8, decoder="bogus")
+
+
 def test_frame_sample_plan(spark):
     media = MM.synth_media(spark, 12)
     plan = MM.frame_sample_plan(media, every_ms=1000)
