@@ -124,9 +124,13 @@ def tokenize_postings(
     falls out of the SAME single tokenize pass instead of a second full
     pass over the corpus.
 
-    Every row also carries ``dl`` — the (doc, field)'s token count,
-    known for free inside the pass. build_blocks folds it into exact
-    per-block (tf, dl) impact frontiers for block-max WAND bounds
+    Every row also carries the (doc, field)'s token count dl — known
+    for free inside the pass — PACKED with tf into one int64 column
+    ``tfdl = dl·2^32 + tf``: UnsafeRow charges 8 bytes per column, so
+    packing keeps the build-shuffle row exactly as wide as a tf-only
+    row (a separate dl column measurably cost ~18% of the whole
+    8-core build). build_blocks unpacks it into exact per-block
+    (tf, dl) impact frontiers for block-max WAND bounds
     (operators/bm25.py); query-side posting reads never project it.
 
     Implemented with mapInArrow, not mapInPandas: the positions column
@@ -136,7 +140,7 @@ def tokenize_postings(
     100k docs), which dominated the stage cost and, being pure memory
     allocation, scaled poorly across cores.
 
-    Output: (term, doc_id, field_id, positions array<int>, tf int, dl int).
+    Output: (term, doc_id, field_id, positions array<int>, tfdl long).
     """
     import pyarrow as pa
 
@@ -144,12 +148,11 @@ def tokenize_postings(
 
     def run(batches):
         dp_term = np.array([DP_TERM], dtype=object)
-        zero_tf = np.zeros(1, dtype=np.int32)
         for rb in batches:
             doc_ids = rb.column(0).to_numpy()
             texts = rb.column(1).to_pylist()
             terms_parts, docs_parts = [], []
-            row_lens_parts, vals_parts, tf_parts, dl_parts = [], [], [], []
+            row_lens_parts, vals_parts, tfdl_parts = [], [], []
             for doc_id, text in zip(doc_ids, texts):
                 if text is None:
                     continue
@@ -167,8 +170,8 @@ def tokenize_postings(
                         np.array([2 * n], dtype=np.int64)
                     )
                     vals_parts.append(flat)
-                    tf_parts.append(zero_tf)
-                    dl_parts.append(np.array([n], dtype=np.int32))
+                    # sentinel: tf = 0, dl = n in the high 32 bits
+                    tfdl_parts.append(np.array([n << 32], dtype=np.int64))
                 arr = np.array(terms, dtype=object)
                 order = np.argsort(arr, kind="stable")
                 sorted_terms = arr[order]
@@ -178,13 +181,12 @@ def tokenize_postings(
                 bnd[1:] = sorted_terms[1:] != sorted_terms[:-1]
                 starts = np.nonzero(bnd)[0]
                 ends = np.append(starts[1:], n)
-                tf = (ends - starts).astype(np.int32)
+                tf = (ends - starts).astype(np.int64)
                 terms_parts.append(sorted_terms[starts])
                 docs_parts.append(np.full(len(starts), doc_id, dtype=np.int64))
-                row_lens_parts.append(tf.astype(np.int64))
+                row_lens_parts.append(tf)
                 vals_parts.append(pos_sorted)
-                tf_parts.append(tf)
-                dl_parts.append(np.full(len(starts), n, dtype=np.int32))
+                tfdl_parts.append(tf + (n << 32))
             if not terms_parts:
                 continue
             docs_all = np.concatenate(docs_parts)
@@ -203,10 +205,9 @@ def tokenize_postings(
                         np.full(len(docs_all), field_id, dtype=np.int32)
                     ),
                     positions,
-                    pa.array(np.concatenate(tf_parts), type=pa.int32()),
-                    pa.array(np.concatenate(dl_parts), type=pa.int32()),
+                    pa.array(np.concatenate(tfdl_parts), type=pa.int64()),
                 ],
-                names=["term", "doc_id", "field_id", "positions", "tf", "dl"],
+                names=["term", "doc_id", "field_id", "positions", "tfdl"],
             )
 
     return pages_with_ids.select("doc_id", "text").mapInArrow(
@@ -314,6 +315,15 @@ BLOCK_SCHEMA = T.StructType(
 MAX_IMPACTS = 16
 
 
+def _diag_no_impacts() -> bool:
+    """Perf-diagnostic escape hatch: skip impact-frontier computation at
+    encode time (FTS_DIAG_NO_IMPACTS=1). NOT a production mode — WAND
+    then degrades to the dl→0 majorization bound."""
+    import os
+
+    return bool(os.environ.get("FTS_DIAG_NO_IMPACTS"))
+
+
 def _impact_frontier(
     tf_doc: np.ndarray, dl_doc: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -387,12 +397,13 @@ def build_blocks(
     frequency and the impact bound is score-safe even for multi-field
     indexes. max_tf is the largest per-doc summed tf in the block.
 
-    Input rows may carry a ``dl`` column (tokenize_postings emits it);
-    impact dl values then bound the doc length from below (for
-    multi-field docs: the sum of the PRESENT fields' lengths <= true
-    dl, which over-estimates tfn — still a safe upper bound). Without
-    ``dl`` the frontier degrades to a single (max_tf, 0) pair — the old
-    dl->0 majorization.
+    Input rows may carry doc lengths — either packed in the ``tfdl``
+    column (tokenize_postings) or as a plain ``dl`` column (compaction
+    re-encode); impact dl values then bound the doc length from below
+    (for multi-field docs: the sum of the PRESENT fields' lengths <=
+    true dl, which over-estimates tfn — still a safe upper bound).
+    Without either, the frontier degrades to a single (max_tf, 0)
+    pair — the old dl->0 majorization.
 
     ``bucketed=True``: the input carries the term-hash ``bucket``
     column, the encode shuffle partitions by (bucket, term, doc_grp)
@@ -451,12 +462,17 @@ def build_blocks(
             grps = pdf["doc_grp"].to_numpy(np.int64)
             docs = pdf["doc_id"].to_numpy(np.int64)
             fields = pdf["field_id"].to_numpy(np.int64)
-            tfs = pdf["tf"].to_numpy(np.int64)
-            dls = (
-                pdf["dl"].to_numpy(np.int64)
-                if "dl" in pdf.columns
-                else np.zeros(n_rows, dtype=np.int64)
-            )
+            if "tfdl" in pdf.columns:  # packed build rows
+                tfdl = pdf["tfdl"].to_numpy(np.int64)
+                tfs = tfdl & TFDL_MASK
+                dls = tfdl >> 32
+            else:  # legacy/compaction rows: plain tf (+ optional dl)
+                tfs = pdf["tf"].to_numpy(np.int64)
+                dls = (
+                    pdf["dl"].to_numpy(np.int64)
+                    if "dl" in pdf.columns
+                    else np.zeros(n_rows, dtype=np.int64)
+                )
             pos_all = np.concatenate(
                 [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
             )
@@ -505,8 +521,11 @@ def build_blocks(
                     # per-doc summed tf + lower-bound dl for the impacts
                     loc_starts = dstarts[di:dj] - s_row
                     tf_doc = np.add.reduceat(tfs[s_row:e_row], loc_starts)
-                    dl_doc = np.add.reduceat(dls[s_row:e_row], loc_starts)
-                    imp_tf, imp_dl = _impact_frontier(tf_doc, dl_doc)
+                    if _diag_no_impacts():  # perf-diagnostic only
+                        imp_tf = imp_dl = empty_imp
+                    else:
+                        dl_doc = np.add.reduceat(dls[s_row:e_row], loc_starts)
+                        imp_tf, imp_dl = _impact_frontier(tf_doc, dl_doc)
                     out["term"].append(term)
                     if bucketed:
                         out["bucket"].append(bucket_val)
@@ -586,11 +605,26 @@ POSTING_SCHEMA = T.StructType(
 )
 
 # build-side posting rows additionally carry the (doc, field) token
-# count so block encoding can store exact (tf, dl) impact frontiers;
-# the committed/query-side posting schema stays POSTING_SCHEMA
+# count so block encoding can store exact (tf, dl) impact frontiers —
+# PACKED with tf into one int64 (tfdl = dl·2^32 + tf) so the build
+# shuffle row is exactly as wide as round 2's tf-only row (UnsafeRow
+# charges 8 bytes per column; a separate dl column measurably cost
+# ~18% of the whole 8-core build). The committed/query-side posting
+# schema stays POSTING_SCHEMA; `unpack_tf` restores a plain tf column.
 BUILD_POSTING_SCHEMA = T.StructType(
-    [*POSTING_SCHEMA.fields, T.StructField("dl", T.IntegerType(), False)]
+    [
+        *[f for f in POSTING_SCHEMA.fields if f.name != "tf"],
+        T.StructField("tfdl", T.LongType(), False),
+    ]
 )
+TFDL_MASK = (1 << 32) - 1
+
+
+def unpack_tf(df: DataFrame) -> DataFrame:
+    """tfdl-packed build rows → POSTING_SCHEMA layout (narrow)."""
+    return df.withColumn(
+        "tf", F.col("tfdl").bitwiseAND(F.lit(TFDL_MASK)).cast("int")
+    ).drop("tfdl")
 
 
 DOC_POSITIONS_SCHEMA = T.StructType(

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -49,8 +50,14 @@ MANIFEST = "manifest.json"
 DEFAULT_BUCKETS = 8
 # auto-scaling target: enough buckets that a point lookup prunes to
 # ~this many docs' worth of postings per segment; capped at 4096
-# (SCALE.md's prescription for 10^12 docs — reached at ~67M docs)
-DOCS_PER_BUCKET = 16_384
+# (SCALE.md's prescription for 10^12 docs — reached at ~10^9 docs).
+# Sized so bucket growth starts only where per-bucket data is big
+# enough to amortize the write fan-out: the fused encode shuffle's
+# partitionBy("bucket") opens up to n_buckets sequential parquet
+# writers PER TASK, so total files ~ n_parts x n_buckets — measured at
+# 300k docs / 32 cores, jumping 8 -> 32 buckets cost 30% of the whole
+# build (5.9k -> 4.2k docs/s) for pruning nobody needs at that size.
+DOCS_PER_BUCKET = 262_144
 MAX_BUCKETS = 4096
 
 
@@ -291,6 +298,7 @@ def build_index(
         #   df = Σ n_docs  (blocks never split a (doc, field) row and
         #        doc_grp ranges are disjoint — exact for single-field),
         #   cf = Σ n_occ, dl = sentinel n_occ / 2.
+        _phase_t = {"ids": time.time() - t0}
         B.build_blocks(
             tokenized,
             codec=mode,
@@ -299,6 +307,7 @@ def build_index(
         ).write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(seg_path, "blocks")
         )
+        _phase_t["blocks_write"] = time.time() - t0 - _phase_t["ids"]
         blocks_committed = spark.read.parquet(os.path.join(seg_path, "blocks"))
         real_blocks = blocks_committed.where(F.col("bucket") < n_buckets)
 
@@ -330,9 +339,10 @@ def build_index(
         # arrays layout: stage the posting rows as the queryable table;
         # everything downstream derives from the committed postings —
         # one tokenize pass total (the reference tokenizes once too, §3.1).
-        # dl is a build-side column for block impact bounds; the arrays
-        # layout has no blocks, so drop it before the write.
-        _sorted_bucketed(tokenized.drop("dl"), "doc_id").write.mode(
+        # dl rides packed in tfdl for block impact bounds; the arrays
+        # layout has no blocks, so restore the plain tf column (and the
+        # committed POSTING_SCHEMA) before the write.
+        _sorted_bucketed(B.unpack_tf(tokenized), "doc_id").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(os.path.join(seg_path, "postings"))
         staged = spark.read.parquet(os.path.join(seg_path, "postings"))
@@ -376,6 +386,7 @@ def build_index(
     # one job's scheduling gaps and straggler tails fill with another's
     # tasks (works identically on a real cluster: the driver is free to
     # run independent jobs in parallel)
+    _outputs_t0 = time.time()
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
             pool.submit(fn)
@@ -383,6 +394,13 @@ def build_index(
         ]
         for fut in futures:
             fut.result()  # propagate the first failure
+    if os.environ.get("FTS_BUILD_PHASE_LOG") and mode in BLOCK_MODES:
+        _phase_t["outputs"] = time.time() - _outputs_t0
+        print(
+            "[build phases] "
+            + " ".join(f"{k}={v:.1f}s" for k, v in _phase_t.items()),
+            file=sys.stderr,
+        )
     # collection stats from the tiny WRITTEN dictionary (one row per
     # term) — not a recomputation of the full postings aggregation
     stats = (
