@@ -151,6 +151,12 @@ WAND_MIN_DOCS = 200_000
 # survivors drop to ≈ the blocks containing true top-k docs).
 WAND_SEED_BLOCKS = 32
 
+# multi-term residual alignment grid: the corpus' dense doc-id range
+# splits into this many cells; per term the exploded (block, cell)
+# metadata is bounded by GRID_CELLS + that term's block count, so the
+# residual pass stays linear no matter the corpus size
+GRID_CELLS = 4096
+
 
 def _wand_eligible(index, terms: list[str] | None, force: bool | None) -> bool:
     """WAND needs a blocks-mode index. Multi-field corpora additionally
@@ -222,12 +228,24 @@ def rank_terms_wand(
     1. SEED: decode only the k highest-ub blocks, score those docs
        exactly (possibly missing some term contributions — an
        underestimate, so the derived threshold θ is conservative).
-    2. PRUNE: for term t keep blocks with
-           ub_t(block) ≥ θ − Σ_{u≠t} ubmax(u)
-       — any doc whose t-block is pruned has total score
-       ≤ ub_t + Σ_{u≠t} ubmax(u) < θ ≤ true k-th score, so no true
-       top-k doc ever loses a contribution. Decode survivors, score
-       exactly, take top-k.
+    2. PRUNE with doc-range-grid residuals (classic block-max WAND
+       alignment): doc ids are dense 0..n_docs-1, so a fixed grid of
+       GRID_CELLS cells of width A = ⌈n_docs / GRID_CELLS⌉ covers the
+       corpus, and each block maps to the cells its [first_doc,
+       last_doc] span touches. For any doc d in cell c and term u,
+       contrib_u(d) ≤ gub(u, c) := max ub over u's blocks touching c.
+       Keep block b of term t iff
+           ub_t(b) + max_{c ∈ cells(b)} Σ_{u≠t} gub(u, c) ≥ θ
+       — a pruned block's every doc d sits in some cell c with total
+       score ≤ ub_t + Σ_{u≠t} gub(u, c) < θ ≤ true k-th score, so no
+       true top-k doc ever loses a contribution. Decode survivors,
+       score exactly, take top-k. The cell-local residual is strictly
+       tighter than a global Σ ubmax (gub ≤ ubmax, and 0 in cells
+       where the other term has no postings at all), which is what
+       lets same-grade multi-term OR queries prune. The explode is
+       bounded by construction: per term, blocks are doc-disjoint, so
+       Σ_b cells(b) ≤ GRID_CELLS + n_blocks(term) — linear metadata
+       work at any corpus size.
 
     Verified rank-identical to the exhaustive scorer in tests
     (test_wand.py), including multi-field compound indexes (impact
@@ -242,11 +260,10 @@ def rank_terms_wand(
     aggregate below), so stats mode adds two cache-read jobs but never
     re-runs the candidate plan.
 
-    Known looseness (documented, not a defect): multi-term residuals
-    use each other term's GLOBAL ubmax, so same-grade multi-term OR
-    queries rarely prune — doc_grp- or block-range-aligned residuals
-    (classic block-max WAND alignment) are the upgrade path; single-
-    and skew-term queries prune strongly (BENCH).
+    Scale shape: the residual side (per-(cell, term) maxima) is block
+    METADATA — ~1 row per 4096 occurrences, explode-bounded by the
+    grid — aggregated once and broadcast back onto the block set; no
+    payload is touched before the survivor decode.
     """
     manifest = getattr(index, "manifest", None)
     mtype = manifest["type"] if manifest else {}
@@ -322,15 +339,44 @@ def rank_terms_wand(
                 stats["n_blocks_decoded"] = n_all
         else:
             theta = seed_scores[-1]["score"]
-            total_ubmax = sum(ubmax.values())
-            # per-term residual bound: θ - Σ_{u≠t} ubmax(u)
-            residual = F.lit(theta) - (F.lit(total_ubmax) - F.coalesce(
-                F.create_map(
-                    *[F.lit(x) for kv in ubmax.items() for x in kv]
-                )[F.col("term")],
-                F.lit(0.0),
-            ))
-            survivors = blocks.where(F.col("ub") >= residual)
+            if len(ubmax) == 1:
+                # single term: no other-term residual — pure block-max
+                survivors = blocks.where(F.col("ub") >= F.lit(theta))
+            else:
+                # doc-range-grid residuals (see docstring); all inputs
+                # are block METADATA projections of the persisted cache
+                cell_w = max(1, -(-n_docs // GRID_CELLS))
+                cells = blocks.select(
+                    "term",
+                    "first_doc",
+                    "ub",
+                    F.explode(
+                        F.sequence(
+                            (F.col("first_doc") / cell_w).cast("long"),
+                            (F.col("last_doc") / cell_w).cast("long"),
+                        )
+                    ).alias("cell"),
+                )
+                gub = cells.groupBy("cell", "term").agg(
+                    F.max("ub").alias("gub")
+                )
+                tot = gub.groupBy("cell").agg(F.sum("gub").alias("tot_gub"))
+                # per (block, term): the best cell's other-terms sum;
+                # (term, first_doc) is a unique block key (a term's
+                # blocks never overlap in doc range, across segments)
+                others = (
+                    cells.join(gub, ["cell", "term"])
+                    .join(tot, "cell")
+                    .groupBy("term", "first_doc")
+                    .agg(
+                        F.max(F.col("tot_gub") - F.col("gub")).alias(
+                            "others_ub"
+                        )
+                    )
+                )
+                survivors = blocks.join(
+                    F.broadcast(others), ["term", "first_doc"]
+                ).where(F.col("ub") + F.col("others_ub") >= F.lit(theta))
             if stats is not None:
                 stats["n_blocks"] = blocks.count()
                 stats["n_blocks_seeded"] = min(n_seed, stats["n_blocks"])

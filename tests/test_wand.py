@@ -76,6 +76,48 @@ def test_rank_query_routes_flat_terms_to_wand(spark, synth_blocks_idx):
     assert _flat_word_terms(parser.parse("WORD(t3)")) == ["t3"]
 
 
+def test_wand_multi_term_grid_residuals_prune(spark, tmp_path):
+    """Same-grade two-term OR where the terms live in DISJOINT doc
+    regions: a global-ubmax residual (θ − ubmax(other)) keeps every
+    block, but the doc-range-grid residual sees gub(other, cell) = 0
+    across each term's own region, so the long-tail blocks must clear
+    θ alone and get pruned. Rank-identity must hold throughout."""
+    import datetime
+
+    from fulltextsearch_spark.sources.pages import PAGES_SCHEMA
+
+    epoch = datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for region, term in (("a", "qleft"), ("b", "qright")):
+        for i in range(20):  # short, high-tf docs -> top scores
+            rows.append(
+                (f"{region}0{i:05d}", epoch, b"", " ".join([term] * 120), "en")
+            )
+        for i in range(5000):  # long tail: tf=1 inside longer docs
+            text = f"{term} " + " ".join(f"{region}w{i}x{j}" for j in range(50))
+            rows.append((f"{region}1{i:05d}", epoch, b"", text, "en"))
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    root = str(tmp_path / "wand_grid")
+    build_index(spark, pages, root, mode="blocks")
+    idx = Index.open(spark, root)
+
+    stats: dict = {}
+    top = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_terms_wand(idx, ["qleft", "qright"], 10, stats=stats).collect()
+    ]
+    exhaustive = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_query_exhaustive(
+            idx, "OR(WORD(qleft),WORD(qright))", 10
+        ).collect()
+    ]
+    assert top == exhaustive
+    # the global-ubmax residual would decode ALL blocks here (both
+    # terms' ubmax exceed θ − ubmax(other)); the grid residual prunes
+    assert stats["n_blocks_decoded"] < stats["n_blocks"], stats
+
+
 def test_wand_prunes_blocks_on_score_spread(spark, tmp_path):
     """Block-max pruning demonstrably skips decodes when blocks have a
     real score spread: a few SHORT docs repeat the term many times
