@@ -319,6 +319,15 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TS.fingerprint_col(F.col("text")).alias("fp"))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate / top n-gram
+    fractions per doc (n = 2, 3) — the training-pipeline boilerplate
+    filter (functions/repetition.py)."""
+    from fulltextsearch_spark.functions.repetition import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir), "text", ns=(2, 3))
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling 1h window aggregation over the events stream table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -353,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
         "events_windowed": q_events_windowed,
     }
 
@@ -714,6 +724,42 @@ def oracle_sql() -> dict[str, str]:
                        x -> ({tok_h} % {_MINHASH_PRIME}))),
                      (a, b) -> (a * 31 + b) % 2147483647) AS fp
             FROM toklist
+        """,
+        "repetition": f"""
+            WITH {_TOKLIST_CTE},
+            g2 AS (
+              SELECT doc_id,
+                     list_extract(t, i) || ' ' || list_extract(t, i + 1) AS gram
+              FROM toklist, UNNEST(range(1, len(t))) AS u(i)
+            ),
+            g3 AS (
+              SELECT doc_id,
+                     list_extract(t, i) || ' ' || list_extract(t, i + 1)
+                       || ' ' || list_extract(t, i + 2) AS gram
+              FROM toklist, UNNEST(range(1, len(t) - 1)) AS u(i)
+            ),
+            c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+            c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+            s2 AS (
+              SELECT doc_id,
+                     round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE
+                           / sum(c), 6) AS dup_2gram_frac,
+                     round(max(c)::DOUBLE / sum(c), 6) AS top_2gram_frac
+              FROM c2 GROUP BY 1
+            ),
+            s3 AS (
+              SELECT doc_id,
+                     round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE
+                           / sum(c), 6) AS dup_3gram_frac,
+                     round(max(c)::DOUBLE / sum(c), 6) AS top_3gram_frac
+              FROM c3 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(dup_2gram_frac, 0.0) AS dup_2gram_frac,
+                   coalesce(top_2gram_frac, 0.0) AS top_2gram_frac,
+                   coalesce(dup_3gram_frac, 0.0) AS dup_3gram_frac,
+                   coalesce(top_3gram_frac, 0.0) AS top_3gram_frac
+            FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
         """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS win_start, event_type,

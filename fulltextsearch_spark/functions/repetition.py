@@ -1,0 +1,91 @@
+"""Repetition-based quality signals for web-corpus filtering.
+
+Token n-gram analogs of the repetition filters used by large-scale
+LM training pipelines (Rae et al. 2021 "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", Table A1; Penedo
+et al. 2023 "The RefinedWeb Dataset"): documents dominated by repeated
+n-grams are boilerplate/spam and get dropped before training. Per doc
+and per n:
+
+- ``dup_{n}gram_frac``: fraction of n-gram occurrences whose n-gram
+  appears ≥ 2 times in the doc (0 when the doc has < n tokens).
+- ``top_{n}gram_frac``: occurrences of the doc's most frequent n-gram
+  over total n-gram occurrences.
+
+Both are ratios of within-doc counts, so they are exactly reproducible
+in the DuckDB oracle (__spark_entry__.py `repetition`).
+
+Scale shape: one explode + two-level aggregation keyed by doc_id —
+partial (map-side) combine applies on (doc_id, gram) and the final agg
+is per-doc, so the shuffle carries one row per DISTINCT (doc, gram),
+never raw text. No UDFs; everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fulltextsearch_spark.functions.textstats import tokens_col
+
+
+def ngrams_col(toks, n: int):
+    """Array of space-joined token n-grams (empty when < n tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(n)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Per-doc repetition fractions for each n in ``ns``.
+
+    Returns (doc_id, dup_{n}gram_frac..., top_{n}gram_frac...) with
+    zeros for docs too short to have any n-gram.
+    """
+    base = docs.select("doc_id", tokens_col(F.col(text_col)).alias("toks"))
+    out = docs.select("doc_id")
+    for n in ns:
+        counts = (
+            base.select("doc_id", F.explode(ngrams_col(F.col("toks"), n)).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("c"))
+        )
+        sig = (
+            counts.groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("total"),
+                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup"),
+                F.max("c").alias("top"),
+            )
+            .select(
+                "doc_id",
+                F.round(F.col("dup") / F.col("total"), 6).alias(f"dup_{n}gram_frac"),
+                F.round(F.col("top") / F.col("total"), 6).alias(f"top_{n}gram_frac"),
+            )
+        )
+        out = out.join(sig, "doc_id", "left")
+    return out.na.fill(0.0)
+
+
+def repetition_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_dup_2gram: float = 0.6,
+    max_top_2gram: float = 0.2,
+    max_dup_3gram: float = 0.5,
+) -> DataFrame:
+    """Keep docs under the Gopher-style repetition thresholds (defaults
+    are in the published filters' ballpark; tune per corpus)."""
+    sig = repetition_signals(docs, text_col, ns=(2, 3))
+    keep = sig.where(
+        (F.col("dup_2gram_frac") <= max_dup_2gram)
+        & (F.col("top_2gram_frac") <= max_top_2gram)
+        & (F.col("dup_3gram_frac") <= max_dup_3gram)
+    ).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")

@@ -182,6 +182,48 @@ def test_token_counts_and_fingerprint(spark):
     assert by_id[1]["fp"] != by_id[3]["fp"]
 
 
+def test_repetition_signals(spark):
+    """Hand-computed Gopher-style n-gram repetition fractions."""
+    from fulltextsearch_spark.functions.repetition import (
+        repetition_filter,
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # "a b a b a": 2-grams [ab, ba, ab, ba] -> all dup, top 2/4
+            (1, "a b a b a"),
+            # all-distinct 2-grams: dup 0, top 1/3
+            (2, "w x y z"),
+            # too short for any 2-gram
+            (3, "solo"),
+            (4, ""),
+            # "r r r r": 2-grams [rr, rr, rr] -> dup 1.0, top 1.0;
+            # 3-grams [rrr, rrr] -> dup 1.0, top 1.0
+            (5, "r r r r"),
+        ],
+        "doc_id int, text string",
+    )
+    sig = {r["doc_id"]: r for r in repetition_signals(df, "text").collect()}
+    assert sig[1]["dup_2gram_frac"] == 1.0
+    assert sig[1]["top_2gram_frac"] == 0.5
+    assert sig[2]["dup_2gram_frac"] == 0.0
+    assert sig[2]["top_2gram_frac"] == round(1 / 3, 6)
+    assert sig[3]["dup_2gram_frac"] == 0.0 and sig[3]["top_2gram_frac"] == 0.0
+    assert sig[4]["dup_2gram_frac"] == 0.0
+    assert sig[5]["dup_2gram_frac"] == 1.0 and sig[5]["top_3gram_frac"] == 1.0
+    # the filter drops the degenerate repeaters, keeps normal text
+    # (thresholds explicit: published defaults assume long docs, where
+    # top-n-gram fractions of short clean docs wouldn't sit at 1/3)
+    kept = {
+        r["doc_id"]
+        for r in repetition_filter(
+            df, "text", max_dup_2gram=0.6, max_top_2gram=0.4, max_dup_3gram=0.5
+        ).collect()
+    }
+    assert 2 in kept and 5 not in kept and 1 not in kept
+
+
 def test_multimodal_feature_extraction(spark):
     media = MM.synth_media(spark, 12)
     feats = MM.extract_features(media, dim=8).collect()
