@@ -58,9 +58,15 @@ def main() -> None:
         ).parquet(corpus)
         pages = spark.read.parquet(corpus)
 
+        n_buckets = os.environ.get("FTS_BENCH_BUCKETS")  # None = auto-scale
         t0 = time.time()
         build_index(
-            spark, pages, root, mode="blocks", input_desc=f"synth n={n_docs}"
+            spark,
+            pages,
+            root,
+            mode="blocks",
+            input_desc=f"synth n={n_docs}",
+            n_buckets=int(n_buckets) if n_buckets else None,
         )
         build_sec = time.time() - t0
         timings["index_build"] = round(build_sec, 3)
@@ -83,6 +89,11 @@ def main() -> None:
                 )
             )
             return
+        # one untimed warm-up query: parquet footer/schema resolution
+        # and the dictionary persist are per-handle one-time costs (see
+        # tests/test_query_job_budget.py); the mix below measures the
+        # steady-state interactive floor
+        idx.search("WORD(qwarmupq)").limit(1).collect()
         query_mix = {
             "q_word_hot": "WORD(t0)",          # stopword-grade df
             "q_word_mid": "WORD(t500)",
@@ -129,6 +140,12 @@ def main() -> None:
         t0 = time.time()
         rank_terms_wand(idx, ["zmarkerz", "t500"], 5, stats=wand_skew).collect()
         timings["q_bm25_wand_skew"] = round(time.time() - t0, 3)
+        # same-grade multi-term OR — prunes only with the doc_grp-
+        # aligned residuals (a global-ubmax residual keeps everything)
+        wand_multi: dict = {}
+        t0 = time.time()
+        rank_terms_wand(idx, ["t40", "t50"], 10, stats=wand_multi).collect()
+        timings["q_bm25_wand_multi"] = round(time.time() - t0, 3)
 
         # breadth: pipeline ops over the driver documents table
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -160,6 +177,8 @@ def main() -> None:
                     "wand_hot_blocks_decoded": wand_hot.get("n_blocks_decoded"),
                     "wand_skew_blocks_total": wand_skew.get("n_blocks"),
                     "wand_skew_blocks_decoded": wand_skew.get("n_blocks_decoded"),
+                    "wand_multi_blocks_total": wand_multi.get("n_blocks"),
+                    "wand_multi_blocks_decoded": wand_multi.get("n_blocks_decoded"),
                 }
             )
         )
