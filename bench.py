@@ -140,11 +140,15 @@ def main() -> None:
         t0 = time.time()
         rank_terms_wand(idx, ["zmarkerz", "t500"], 5, stats=wand_skew).collect()
         timings["q_bm25_wand_skew"] = round(time.time() - t0, 3)
-        # same-grade multi-term OR — prunes only with the doc_grp-
-        # aligned residuals (a global-ubmax residual keeps everything)
+        # same-grade multi-term OR over two HOT terms: their blocks are
+        # doc-local (a 4096-occ block of a hot term spans ~2k docs), so
+        # the grid residual sees locally-varying other-term bounds and
+        # can prune; mid/rare term pairs whose single block spans the
+        # whole corpus structurally cannot prune (every block may hold
+        # a top doc) and are not evidence either way
         wand_multi: dict = {}
         t0 = time.time()
-        rank_terms_wand(idx, ["t40", "t50"], 10, stats=wand_multi).collect()
+        rank_terms_wand(idx, ["t0", "t1"], 10, stats=wand_multi).collect()
         timings["q_bm25_wand_multi"] = round(time.time() - t0, 3)
 
         # breadth: pipeline ops over the driver documents table

@@ -225,9 +225,16 @@ def rank_terms_wand(
     impacts (legacy segments) fall back to the dl→0 majorization
     tfn(max_tf, 0). Two phases:
 
-    1. SEED: decode only the k highest-ub blocks, score those docs
-       exactly (possibly missing some term contributions — an
-       underestimate, so the derived threshold θ is conservative).
+    1. SEED: single-term queries decode the highest-ub blocks.
+       Multi-term queries seed BY CELL: the top grid cells by combined
+       per-cell bound, decoding every query term's blocks that touch
+       them — a doc inside a seed cell therefore gets its COMPLETE
+       multi-term score (each of its term-blocks touches its cell),
+       which puts θ at the true combined-score level. (Seeding by
+       individual blocks leaves seeded docs missing the other terms'
+       contributions, θ lands a term's share low, and nothing prunes.)
+       All seed scores are exact or underestimates, so θ ≤ the true
+       k-th score — conservative, never unsafe.
     2. PRUNE with doc-range-grid residuals (classic block-max WAND
        alignment): doc ids are dense 0..n_docs-1, so a fixed grid of
        GRID_CELLS cells of width A = ⌈n_docs / GRID_CELLS⌉ covers the
@@ -326,7 +333,55 @@ def rank_terms_wand(
             )
 
         n_seed = max(k, WAND_SEED_BLOCKS)
-        seed = blocks.orderBy(F.desc("ub")).limit(n_seed)
+        cells = gub = tot = None
+        seeded_n = n_seed
+        if len(ubmax) == 1:
+            seed = blocks.orderBy(F.desc("ub")).limit(n_seed)
+        else:
+            # doc-range-grid metadata (see docstring), shared by the
+            # seed and prune phases; all projections of the persisted
+            # candidate-block cache
+            cell_w = max(1, -(-n_docs // GRID_CELLS))
+            cells = blocks.select(
+                "term",
+                "first_doc",
+                "ub",
+                F.explode(
+                    F.sequence(
+                        (F.col("first_doc") / cell_w).cast("long"),
+                        (F.col("last_doc") / cell_w).cast("long"),
+                    )
+                ).alias("cell"),
+            )
+            gub = cells.groupBy("cell", "term").agg(F.max("ub").alias("gub"))
+            tot = gub.groupBy("cell").agg(F.sum("gub").alias("tot_gub"))
+            # SEED BY CELLS, not by blocks: decode every term's blocks
+            # touching the top cells by combined bound, so each doc in
+            # a seed cell gets its COMPLETE multi-term score (its block
+            # for every query term touches the doc's cell). Per-block
+            # seeding gives seeded docs only one term's contribution,
+            # so θ lands a whole term's share low and nothing prunes.
+            cell_counts = (
+                cells.groupBy("cell")
+                .agg(F.count("*").alias("nb"))
+                .join(tot, "cell")
+                .orderBy(F.desc("tot_gub"))
+                .limit(64)
+                .collect()
+            )
+            picked, budget = [], 0
+            for r in cell_counts:
+                picked.append(r["cell"])
+                budget += r["nb"]
+                if budget >= n_seed:
+                    break
+            seed_keys = (
+                cells.where(F.col("cell").isin(picked))
+                .select("term", "first_doc")
+                .distinct()
+            )
+            seed = blocks.join(F.broadcast(seed_keys), ["term", "first_doc"])
+            seeded_n = budget
         seed_scores = (
             exact_scores(seed).orderBy(F.desc("score")).limit(k).collect()
         )
@@ -335,7 +390,7 @@ def rank_terms_wand(
             if stats is not None:
                 n_all = blocks.count()
                 stats["n_blocks"] = n_all
-                stats["n_blocks_seeded"] = min(n_seed, n_all)
+                stats["n_blocks_seeded"] = min(seeded_n, n_all)
                 stats["n_blocks_decoded"] = n_all
         else:
             theta = seed_scores[-1]["score"]
@@ -343,24 +398,6 @@ def rank_terms_wand(
                 # single term: no other-term residual — pure block-max
                 survivors = blocks.where(F.col("ub") >= F.lit(theta))
             else:
-                # doc-range-grid residuals (see docstring); all inputs
-                # are block METADATA projections of the persisted cache
-                cell_w = max(1, -(-n_docs // GRID_CELLS))
-                cells = blocks.select(
-                    "term",
-                    "first_doc",
-                    "ub",
-                    F.explode(
-                        F.sequence(
-                            (F.col("first_doc") / cell_w).cast("long"),
-                            (F.col("last_doc") / cell_w).cast("long"),
-                        )
-                    ).alias("cell"),
-                )
-                gub = cells.groupBy("cell", "term").agg(
-                    F.max("ub").alias("gub")
-                )
-                tot = gub.groupBy("cell").agg(F.sum("gub").alias("tot_gub"))
                 # per (block, term): the best cell's other-terms sum;
                 # (term, first_doc) is a unique block key (a term's
                 # blocks never overlap in doc range, across segments)
@@ -379,7 +416,7 @@ def rank_terms_wand(
                 ).where(F.col("ub") + F.col("others_ub") >= F.lit(theta))
             if stats is not None:
                 stats["n_blocks"] = blocks.count()
-                stats["n_blocks_seeded"] = min(n_seed, stats["n_blocks"])
+                stats["n_blocks_seeded"] = min(seeded_n, stats["n_blocks"])
                 stats["n_blocks_decoded"] = survivors.count()
         return (
             exact_scores(survivors)
