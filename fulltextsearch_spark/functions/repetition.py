@@ -47,30 +47,55 @@ def repetition_signals(
 
     Returns (doc_id, dup_{n}gram_frac..., top_{n}gram_frac...) with
     zeros for docs too short to have any n-gram.
+
+    ONE tokenize scan for all n (ADVICE r3 low: the per-n loop re-read
+    and re-tokenized the full corpus len(ns) times and ran len(ns)
+    doc_id joins): every n's grams explode out of the same pass keyed
+    by n, aggregate per (doc, n, gram) → (doc, n) → one conditional
+    pivot to the wide per-doc row, then a single left join restores
+    docs with no grams at all.
     """
-    base = docs.select("doc_id", tokens_col(F.col(text_col)).alias("toks"))
-    out = docs.select("doc_id")
+    toks = tokens_col(F.col(text_col))
+    per_n = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("n"),
+                            ngrams_col(toks, n).alias("grams"),
+                        )
+                        for n in ns
+                    ]
+                )
+            ).alias("ng"),
+        )
+        .select("doc_id", "ng.n", F.explode("ng.grams").alias("gram"))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum("c").alias("total"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup"),
+            F.max("c").alias("top"),
+        )
+    )
+    aggs = []
     for n in ns:
-        counts = (
-            base.select("doc_id", F.explode(ngrams_col(F.col("toks"), n)).alias("gram"))
-            .groupBy("doc_id", "gram")
-            .agg(F.count("*").alias("c"))
-        )
-        sig = (
-            counts.groupBy("doc_id")
-            .agg(
-                F.sum("c").alias("total"),
-                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup"),
-                F.max("c").alias("top"),
-            )
-            .select(
-                "doc_id",
-                F.round(F.col("dup") / F.col("total"), 6).alias(f"dup_{n}gram_frac"),
-                F.round(F.col("top") / F.col("total"), 6).alias(f"top_{n}gram_frac"),
+        only_n = lambda v, n=n: F.max(F.when(F.col("n") == n, v))
+        aggs.append(
+            F.round(only_n(F.col("dup") / F.col("total")), 6).alias(
+                f"dup_{n}gram_frac"
             )
         )
-        out = out.join(sig, "doc_id", "left")
-    return out.na.fill(0.0)
+        aggs.append(
+            F.round(only_n(F.col("top") / F.col("total")), 6).alias(
+                f"top_{n}gram_frac"
+            )
+        )
+    wide = per_n.groupBy("doc_id").agg(*aggs)
+    return docs.select("doc_id").join(wide, "doc_id", "left").na.fill(0.0)
 
 
 def repetition_filter(

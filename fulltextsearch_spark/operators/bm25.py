@@ -151,11 +151,41 @@ WAND_MIN_DOCS = 200_000
 # survivors drop to ≈ the blocks containing true top-k docs).
 WAND_SEED_BLOCKS = 32
 
-# multi-term residual alignment grid: the corpus' dense doc-id range
+# multi-term residual alignment grid: the index's doc-id SPAN (manifest
+# doc_id_range high water, NOT n_docs — preassigned ids may be sparse)
 # splits into this many cells; per term the exploded (block, cell)
 # metadata is bounded by GRID_CELLS + that term's block count, so the
 # residual pass stays linear no matter the corpus size
 GRID_CELLS = 4096
+
+# Routing gates (rank quality is unaffected — every route is exact):
+# WAND's seed/grid phases only pay when they can skip >~half the decode
+# work. Candidate sets at/below ~2 seed budgets route straight to the
+# one-job exhaustive decode (Gate A); multi-term queries whose BEST-CASE
+# survivor fraction (θ capped by the top cell's combined bound — no doc
+# can score higher) exceeds this route exhaustive before any seed decode
+# (Gate P); after θ is known, a measured survivor fraction above this
+# drops the residual-join decode for the plain full decode (Gate B).
+WAND_MAX_SURVIVOR_FRAC = 0.5
+
+
+def _id_span(index, n_docs: int) -> int:
+    """Doc-id upper bound + 1 for the alignment grid — the manifest's
+    committed doc_id_range high water (zero Spark jobs). Falls back to
+    n_docs for handles without a manifest (memory indexes). Sparse
+    preassigned ids (build_index allows them) make n_docs alone wrong:
+    cell width would collapse and F.sequence could emit millions of
+    cells per block (ADVICE r3 medium)."""
+    manifest = getattr(index, "manifest", None) or {}
+    id_hi = max(
+        (
+            s["doc_id_range"][1]
+            for s in manifest.get("segments", [])
+            if s.get("committed")
+        ),
+        default=n_docs - 1,
+    )
+    return max(id_hi + 1, n_docs, 1)
 
 
 def _wand_eligible(index, terms: list[str] | None, force: bool | None) -> bool:
@@ -209,7 +239,11 @@ def rank_query_exhaustive(index, query: str, k: int = 10) -> DataFrame:
 
 
 def rank_terms_wand(
-    index, terms: list[str], k: int = 10, stats: dict | None = None
+    index,
+    terms: list[str],
+    k: int = 10,
+    stats: dict | None = None,
+    gates: bool = True,
 ) -> DataFrame:
     """Block-max WAND top-k over a term set (blocks mode) — score-safe.
 
@@ -259,13 +293,20 @@ def rank_terms_wand(
     frontiers required — no-impacts multi-field indexes raise and
     rank_query routes them to the exhaustive path).
 
+    Cost gates (routing only — every route returns exact ranks): Gate A
+    skips seed/grid for candidate sets ≤ 2× the seed budget; Gate P
+    (multi-term) counts best-case survivors at θ_cap = the top cell's
+    combined bound before any payload decode and routes unprunable
+    queries (same-grade hot pairs) to the one-job full decode; Gate B
+    re-checks the measured survivor fraction after θ. All three read
+    only the persisted block-metadata cache.
+
     ``stats``, when given, receives {"n_blocks": total candidate blocks,
-    "n_blocks_seeded": blocks decoded by the seed phase,
-    "n_blocks_decoded": blocks that survived pruning (the prune-phase
-    decode set)} for prune-ratio reporting. The counts read the
-    ALREADY-persisted candidate-block cache (materialized by the ubmax
-    aggregate below), so stats mode adds two cache-read jobs but never
-    re-runs the candidate plan.
+    "n_blocks_seeded": DISTINCT blocks decoded by the seed phase,
+    "n_blocks_decoded": blocks decoded by the final pass, "route": which
+    gate routed ("wand" | "exhaustive_small" | "exhaustive_unprunable" |
+    "exhaustive_underfull" | "exhaustive_post_theta")} for prune-ratio
+    reporting off the persisted candidate-block cache.
 
     Scale shape: the residual side (per-(cell, term) maxima) is block
     METADATA — ~1 row per 4096 occurrences, explode-bounded by the
@@ -307,10 +348,13 @@ def rank_terms_wand(
     ub = _idf_col(n_docs) * F.coalesce(imp_tfn, fallback_tfn)
     blocks = blocks.withColumn("ub", ub).persist()
     try:
-        ubmax = {
-            r["term"]: r["m"]
-            for r in blocks.groupBy("term").agg(F.max("ub").alias("m")).collect()
-        }
+        agg = (
+            blocks.groupBy("term")
+            .agg(F.max("ub").alias("m"), F.count("*").alias("n"))
+            .collect()
+        )
+        ubmax = {r["term"]: r["m"] for r in agg}
+        n_total = sum(r["n"] for r in agg)
         if not ubmax:
             return index.spark.createDataFrame([], "doc_id long, score double")
         block_cols = ["term", "payload"]
@@ -332,16 +376,37 @@ def rank_terms_wand(
                 .agg(F.sum("s").alias("score"))
             )
 
+        def finish(bdf, route: str, n_seeded: int, n_decoded: int) -> DataFrame:
+            if stats is not None:
+                stats["n_blocks"] = n_total
+                stats["n_blocks_seeded"] = min(n_seeded, n_total)
+                stats["n_blocks_decoded"] = n_decoded
+                stats["route"] = route
+            return (
+                exact_scores(bdf)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+
         n_seed = max(k, WAND_SEED_BLOCKS)
-        cells = gub = tot = None
+        # Gate A: candidate set at/below ~2 seed budgets — the seed
+        # phase would decode a comparable share anyway; one decode job
+        # beats seed + θ + prune round-trips (the 3-block skew case).
+        # ``gates=False`` (tests) exercises the pruning machinery on
+        # fixture-sized corpora the gates would route around.
+        if gates and n_total <= 2 * n_seed:
+            return finish(blocks, "exhaustive_small", 0, n_total)
+        cells = gub = tot = others = None
         seeded_n = n_seed
         if len(ubmax) == 1:
             seed = blocks.orderBy(F.desc("ub")).limit(n_seed)
         else:
             # doc-range-grid metadata (see docstring), shared by the
             # seed and prune phases; all projections of the persisted
-            # candidate-block cache
-            cell_w = max(1, -(-n_docs // GRID_CELLS))
+            # candidate-block cache. Cell width covers the doc-ID SPAN
+            # (manifest high water), not n_docs — preassigned sparse
+            # ids would otherwise explode millions of cells per block.
+            cell_w = max(1, -(-_id_span(index, n_docs) // GRID_CELLS))
             cells = blocks.select(
                 "term",
                 "first_doc",
@@ -355,6 +420,37 @@ def rank_terms_wand(
             )
             gub = cells.groupBy("cell", "term").agg(F.max("ub").alias("gub"))
             tot = gub.groupBy("cell").agg(F.sum("gub").alias("tot_gub"))
+            # per (block, term): the best cell's other-terms sum;
+            # (term, first_doc) is a unique block key (a term's
+            # blocks never overlap in doc range, across segments)
+            others = (
+                cells.join(gub, ["cell", "term"])
+                .join(tot, "cell")
+                .groupBy("term", "first_doc")
+                .agg(F.max(F.col("tot_gub") - F.col("gub")).alias("others_ub"))
+            )
+            # Gate P: best-case payoff check BEFORE any payload decode.
+            # θ can never exceed the top cell's combined bound (a doc's
+            # score ≤ Σ_u gub(u, its cell)), so survivors at θ_cap are
+            # the FLOOR of any achievable decode set. Same-grade hot
+            # term pairs (near-uniform cell bounds) bottom out near
+            # 100% here — route them to the one-job exhaustive decode
+            # instead of paying seed + grid round-trips to prune ~0
+            # (round-3: q_bm25_or decoded 1961/1965 blocks through the
+            # full WAND machinery and lost 3x to the exhaustive path).
+            if gates:
+                theta_cap = (
+                    tot.agg(F.max("tot_gub").alias("m")).collect()[0]["m"]
+                )
+                n_floor = (
+                    blocks.join(F.broadcast(others), ["term", "first_doc"])
+                    .where(
+                        F.col("ub") + F.col("others_ub") >= F.lit(theta_cap)
+                    )
+                    .count()
+                )
+                if n_floor > WAND_MAX_SURVIVOR_FRAC * n_total:
+                    return finish(blocks, "exhaustive_unprunable", 0, n_total)
             # SEED BY CELLS, not by blocks: decode every term's blocks
             # touching the top cells by combined bound, so each doc in
             # a seed cell gets its COMPLETE multi-term score (its block
@@ -381,47 +477,36 @@ def rank_terms_wand(
                 .distinct()
             )
             seed = blocks.join(F.broadcast(seed_keys), ["term", "first_doc"])
-            seeded_n = budget
+            # distinct block count, not (block, cell) incidences
+            # (ADVICE r3 low: budget overcounted multi-cell blocks)
+            seeded_n = seed_keys.count() if stats is not None else budget
         seed_scores = (
             exact_scores(seed).orderBy(F.desc("score")).limit(k).collect()
         )
         if len(seed_scores) < k:
-            survivors = blocks  # not enough candidates to prune safely
-            if stats is not None:
-                n_all = blocks.count()
-                stats["n_blocks"] = n_all
-                stats["n_blocks_seeded"] = min(seeded_n, n_all)
-                stats["n_blocks_decoded"] = n_all
+            # not enough candidates to prune safely
+            return finish(blocks, "exhaustive_underfull", seeded_n, n_total)
+        theta = seed_scores[-1]["score"]
+        if len(ubmax) == 1:
+            # single term: no other-term residual — pure block-max
+            survivors = blocks.where(F.col("ub") >= F.lit(theta))
         else:
-            theta = seed_scores[-1]["score"]
-            if len(ubmax) == 1:
-                # single term: no other-term residual — pure block-max
-                survivors = blocks.where(F.col("ub") >= F.lit(theta))
-            else:
-                # per (block, term): the best cell's other-terms sum;
-                # (term, first_doc) is a unique block key (a term's
-                # blocks never overlap in doc range, across segments)
-                others = (
-                    cells.join(gub, ["cell", "term"])
-                    .join(tot, "cell")
-                    .groupBy("term", "first_doc")
-                    .agg(
-                        F.max(F.col("tot_gub") - F.col("gub")).alias(
-                            "others_ub"
-                        )
-                    )
+            survivors = blocks.join(
+                F.broadcast(others), ["term", "first_doc"]
+            ).where(F.col("ub") + F.col("others_ub") >= F.lit(theta))
+        # Gate B: measured payoff. A survivor set over half the
+        # candidates decodes as much as the plain path WITH the extra
+        # residual join riding on every decoded block — drop to the
+        # straight full decode. The count is metadata-only over the
+        # persisted cache (no payload touched).
+        if gates or stats is not None:
+            n_surv = survivors.count()
+            if gates and n_surv > WAND_MAX_SURVIVOR_FRAC * n_total:
+                return finish(
+                    blocks, "exhaustive_post_theta", seeded_n, n_total
                 )
-                survivors = blocks.join(
-                    F.broadcast(others), ["term", "first_doc"]
-                ).where(F.col("ub") + F.col("others_ub") >= F.lit(theta))
-            if stats is not None:
-                stats["n_blocks"] = blocks.count()
-                stats["n_blocks_seeded"] = min(seeded_n, stats["n_blocks"])
-                stats["n_blocks_decoded"] = survivors.count()
-        return (
-            exact_scores(survivors)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        else:
+            n_surv = -1  # uncounted (gates off, no stats requested)
+        return finish(survivors, "wand", seeded_n, n_surv)
     finally:
         blocks.unpersist()

@@ -466,6 +466,10 @@ def build_blocks(
                 tfdl = pdf["tfdl"].to_numpy(np.int64)
                 tfs = tfdl & TFDL_MASK
                 dls = tfdl >> 32
+                # per-row dl is the (doc, field) length: summing a
+                # doc's field-rows yields the present-fields total —
+                # a correct lower bound of the true dl
+                sum_dl = True
             else:  # legacy/compaction rows: plain tf (+ optional dl)
                 tfs = pdf["tf"].to_numpy(np.int64)
                 dls = (
@@ -473,6 +477,12 @@ def build_blocks(
                     if "dl" in pdf.columns
                     else np.zeros(n_rows, dtype=np.int64)
                 )
+                # per-row dl is the doc TOTAL (compact_index joins
+                # doc_stats): take it ONCE per doc — summing would
+                # store n_fields x dl, under-estimating the block-max
+                # score bound and breaking WAND safety on compacted
+                # multi-field indexes
+                sum_dl = False
             pos_all = np.concatenate(
                 [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
             )
@@ -524,7 +534,11 @@ def build_blocks(
                     if _diag_no_impacts():  # perf-diagnostic only
                         imp_tf = imp_dl = empty_imp
                     else:
-                        dl_doc = np.add.reduceat(dls[s_row:e_row], loc_starts)
+                        dl_doc = (
+                            np.add.reduceat(dls[s_row:e_row], loc_starts)
+                            if sum_dl
+                            else dls[dstarts[di:dj]]
+                        )
                         imp_tf, imp_dl = _impact_frontier(tf_doc, dl_doc)
                     out["term"].append(term)
                     if bucketed:

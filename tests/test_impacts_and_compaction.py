@@ -83,7 +83,10 @@ def test_wand_impacts_prune_on_zipf_corpus(spark, synth3k_idx):
     stats: dict = {}
     wand = [
         (r["doc_id"], round(r["score"], 9))
-        for r in rank_terms_wand(idx, ["t0"], 3, stats=stats).collect()
+        # gates=False: the routing gates would (correctly) send this
+        # fixture-sized candidate set to the one-job exhaustive decode;
+        # this test pins the pruning MACHINERY itself
+        for r in rank_terms_wand(idx, ["t0"], 3, stats=stats, gates=False).collect()
     ]
     exhaustive = [
         (r["doc_id"], round(r["score"], 9))
@@ -293,6 +296,66 @@ def test_compaction_resumes_per_bucket(spark, tmp_path):
     ds = {r["doc_id"]: r["dl"] for r in idx2.doc_stats().collect()}
     for r in rows:
         assert set(r["imp_dl"]) <= set(ds.values())
+
+
+# --- multi-field compaction keeps impact dl exact (ADVICE r3 high) -----
+
+
+def test_multifield_compaction_impact_dl_and_rank(spark, tmp_path):
+    """ADVICE r3 (high): compact_index joins doc_stats, so every
+    (doc, field) row of a multi-field index carried the doc's TOTAL dl
+    and encode_groups reduceat-summed it — imp_dl = n_fields x dl.
+    Over-estimated dl under-estimates the block-max bound, so WAND
+    could prune blocks holding true top-k docs. Pin: (a) singleton
+    blocks of a both-fields term store imp_dl == the doc's exact dl;
+    (b) WAND stays rank-identical to the exhaustive scorer on the
+    compacted index."""
+    root = str(tmp_path / "mf_compact")
+    rng = np.random.default_rng(23)
+    for seg in (0, 1):
+        rows = []
+        for i in range(seg * 120, (seg + 1) * 120):
+            title = f"uq{i} " + " ".join(
+                f"t{int(t)}" for t in rng.integers(0, 30, rng.integers(2, 6))
+            )
+            body = f"uq{i} " + " ".join(
+                f"t{int(t)}" for t in rng.integers(0, 300, rng.integers(20, 90))
+            )
+            rows.append((f"m{i:05d}", title, body))
+        docs = spark.createDataFrame(
+            rows, "url string, title string, body string"
+        )
+        build_index(
+            spark, docs, root, mode="blocks", field_cols=["title", "body"]
+        )
+    idx = Index.open(spark, root)
+    exhaustive = {
+        q: [
+            (r["doc_id"], round(r["score"], 9))
+            for r in rank_query_exhaustive(idx, q, 10).collect()
+        ]
+        for q in ("WORD(t1)", "OR(WORD(t0),WORD(t5))")
+    }
+    compact_index(spark, root)
+    idx2 = Index.open(spark, root)
+    assert len(idx2.manifest["segments"]) == 1
+    ds = {r["doc_id"]: r["dl"] for r in idx2.doc_stats().collect()}
+    # 'uq7' occurs once in BOTH fields of exactly one doc -> one block,
+    # one doc, two decoded (doc, field) rows at compaction time
+    rows = idx2.blocks(exact_terms=["uq7"]).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 1
+    (blk,) = rows
+    assert list(blk["imp_tf"]) == [2]  # tf sums the two fields
+    assert list(blk["imp_dl"]) == [ds[blk["first_doc"]]]  # NOT 2x dl
+    # WAND rank identity on the compacted multi-field blocks
+    assert [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_terms_wand(idx2, ["t1"], 10).collect()
+    ] == exhaustive["WORD(t1)"]
+    assert [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_terms_wand(idx2, ["t0", "t5"], 10).collect()
+    ] == exhaustive["OR(WORD(t0),WORD(t5))"]
 
 
 # --- docs-table meta column drift (ADVICE r2 low) ----------------------

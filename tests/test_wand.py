@@ -104,7 +104,9 @@ def test_wand_multi_term_grid_residuals_prune(spark, tmp_path):
     stats: dict = {}
     top = [
         (r["doc_id"], round(r["score"], 9))
-        for r in rank_terms_wand(idx, ["qleft", "qright"], 10, stats=stats).collect()
+        for r in rank_terms_wand(
+            idx, ["qleft", "qright"], 10, stats=stats, gates=False
+        ).collect()
     ]
     exhaustive = [
         (r["doc_id"], round(r["score"], 9))
@@ -116,6 +118,100 @@ def test_wand_multi_term_grid_residuals_prune(spark, tmp_path):
     # the global-ubmax residual would decode ALL blocks here (both
     # terms' ubmax exceed θ − ubmax(other)); the grid residual prunes
     assert stats["n_blocks_decoded"] < stats["n_blocks"], stats
+
+
+def test_wand_gate_small_candidate_set(spark, synth_blocks_idx):
+    """Gate A: a candidate set at/below 2x the seed budget routes to the
+    one-job exhaustive decode (round-3: the 3-block skew query paid 6.7s
+    of seed/θ round-trips to prune nothing) — ranks unchanged."""
+    idx = synth_blocks_idx
+    stats: dict = {}
+    top = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_terms_wand(idx, ["t0"], 5, stats=stats).collect()
+    ]
+    assert stats["route"] == "exhaustive_small"
+    assert stats["n_blocks_decoded"] == stats["n_blocks"]
+    assert stats["n_blocks_seeded"] == 0
+    exhaustive = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_query_exhaustive(idx, "WORD(t0)", 5).collect()
+    ]
+    assert top == exhaustive
+
+
+def test_wand_gate_unprunable_pair(spark, tmp_path, monkeypatch):
+    """Gate P: two same-grade terms co-occurring in EVERY doc give
+    near-uniform cell bounds — best-case survivors ≈ 100%, so the query
+    must route to the exhaustive decode BEFORE any seed decode
+    (round-3: q_bm25_or decoded 1961/1965 blocks through full WAND and
+    lost 3x). Ranks stay identical."""
+    import datetime
+
+    from fulltextsearch_spark.operators import bm25
+    from fulltextsearch_spark.sources.pages import PAGES_SCHEMA
+
+    epoch = datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for i in range(8000):
+        text = "ha ha ha hb hb hb " + " ".join(f"u{i}x{j}" for j in range(6))
+        rows.append((f"g{i:05d}", epoch, b"", text, "en"))
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    root = str(tmp_path / "wand_unprunable")
+    build_index(spark, pages, root, mode="blocks")
+    idx = Index.open(spark, root)
+    # shrink the seed budget so Gate A passes at fixture block counts
+    monkeypatch.setattr(bm25, "WAND_SEED_BLOCKS", 2)
+    stats: dict = {}
+    top = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_terms_wand(idx, ["ha", "hb"], 3, stats=stats).collect()
+    ]
+    assert stats["route"] == "exhaustive_unprunable", stats
+    assert stats["n_blocks_seeded"] == 0  # no payload decoded pre-route
+    exhaustive = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_query_exhaustive(idx, "OR(WORD(ha),WORD(hb))", 3).collect()
+    ]
+    assert top == exhaustive
+
+
+def test_wand_sparse_preassigned_ids(spark, tmp_path):
+    """ADVICE r3 (medium): cell width derived from n_docs exploded
+    millions of grid cells per block under sparse preassigned ids
+    (build_index allows non-dense ids). The span now comes from the
+    manifest's doc_id_range high water, so the explode stays bounded
+    and the query completes rank-identical."""
+    import datetime
+
+    epoch = datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for i in range(400):
+        term = "sa" if i % 2 == 0 else "sb"
+        text = f"{term} " + " ".join(f"f{i}x{j}" for j in range(i % 17 + 3))
+        # ids jump by ~1e7: max id ~4e9 >> n_docs = 400
+        rows.append((1 + i * 10_000_000, f"s{i:05d}", epoch, text, "en"))
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, text string, lang string"
+    )
+    root = str(tmp_path / "wand_sparse")
+    build_index(spark, pages, root, mode="blocks", preassigned_ids=True)
+    idx = Index.open(spark, root)
+    from fulltextsearch_spark.operators.bm25 import _id_span
+
+    assert _id_span(idx, 400) == 1 + 399 * 10_000_000 + 1
+    # gates=False forces the grid/residual machinery the bug lived in
+    top = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_terms_wand(
+            idx, ["sa", "sb"], 10, gates=False
+        ).collect()
+    ]
+    exhaustive = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_query_exhaustive(idx, "OR(WORD(sa),WORD(sb))", 10).collect()
+    ]
+    assert top == exhaustive
 
 
 def test_wand_prunes_blocks_on_score_spread(spark, tmp_path):
@@ -147,7 +243,9 @@ def test_wand_prunes_blocks_on_score_spread(spark, tmp_path):
     stats: dict = {}
     top = [
         (r["doc_id"], round(r["score"], 9))
-        for r in rank_terms_wand(idx, ["pms"], 10, stats=stats).collect()
+        for r in rank_terms_wand(
+            idx, ["pms"], 10, stats=stats, gates=False
+        ).collect()
     ]
     exhaustive = [
         (r["doc_id"], round(r["score"], 9))
