@@ -72,6 +72,37 @@ def _index(spark: SparkSession, sf_dir: str) -> Index:
     return _IDX_CACHE[sf_dir]
 
 
+def _compound_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Multi-field compound index (SURVEY §2.A4): the documents text
+    splits deterministically into title = tokens 1..8 and body = the
+    rest (token-boundary split, so per-field tokenization is exactly
+    reproducible in the oracle's list-slice SQL)."""
+    key = sf_dir + "#compound"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        toks = TS.tokens_col(F.col("text"))
+        pages = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 8), " ").alias("title"),
+            F.array_join(
+                F.slice(toks, 9, F.greatest(F.size(toks) - 8, F.lit(0))), " "
+            ).alias("body"),
+        )
+        root = tempfile.mkdtemp(prefix="fts_entry_cidx_")
+        build_index(
+            spark,
+            pages,
+            root,
+            mode="blocks",
+            input_desc=f"compound split of documents at {sf_dir}",
+            preassigned_ids=True,
+            field_cols=["title", "body"],
+        )
+        _IDX_CACHE[key] = Index.open(spark, root)
+    return _IDX_CACHE[key]
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, tokens array<string>) via the engine tokenizer UDF."""
     return _docs(spark, sf_dir).select(
@@ -187,6 +218,20 @@ def q_bm25_topk_wand(spark, sf_dir):
     return rank_query(
         idx, "OR(WORD(data),WORD(query))", 20, force_wand=True
     ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_compound_field_postings(spark, sf_dir):
+    """A4 compound docs: per-(doc, field) postings of WORD(data) on the
+    two-field (title tokens 1-8 / body rest) index — field-local tf and
+    1-based first position, through the real blocks decode path."""
+    idx = _compound_index(spark, sf_dir)
+    p = idx.postings(exact_terms=["data"])
+    return p.select(
+        "doc_id",
+        F.col("field_id").cast("long").alias("field_id"),
+        F.col("tf").cast("long").alias("tf"),
+        F.element_at("positions", 1).cast("long").alias("first_pos"),
+    )
 
 
 def q_doc_id_assignment(spark, sf_dir):
@@ -350,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_expand": q_edit_expand,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "compound_field_postings": q_compound_field_postings,
         "doc_id_assignment": q_doc_id_assignment,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -571,6 +617,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM toks WHERE term = 'data'
             INTERSECT
             SELECT doc_id FROM toks WHERE term = 'query'
+        """,
+        "compound_field_postings": f"""
+            WITH {_TOKLIST_CTE},
+            fields AS (
+              SELECT doc_id, 1 AS field_id, t[1:8] AS ft FROM toklist
+              UNION ALL
+              SELECT doc_id, 2 AS field_id, t[9:] AS ft FROM toklist
+            ),
+            occ AS (
+              SELECT doc_id, field_id, s.i AS p
+              FROM fields, (SELECT unnest(generate_series(1, 10000)) AS i) s
+              WHERE s.i <= len(ft) AND ft[s.i] = 'data'
+            )
+            SELECT doc_id, field_id::BIGINT AS field_id,
+                   count(*)::BIGINT AS tf, min(p)::BIGINT AS first_pos
+            FROM occ GROUP BY doc_id, field_id
         """,
         "or_counts": f"""
             WITH {_TOKS_CTE}

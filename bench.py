@@ -113,6 +113,8 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
         # production rank(): at this corpus size (>= WAND_MIN_DOCS) the
         # cost gate routes flat WORD/OR-of-WORDs through block-max WAND
+        # where pruning pays, and to the one-job exhaustive decode where
+        # it cannot (bm25.py routing gates)
         for name, q in {
             "q_bm25_word": "WORD(t42)",
             "q_bm25_or": "OR(WORD(t3),WORD(t11),WORD(t250))",
@@ -122,34 +124,44 @@ def main() -> None:
             t0 = time.time()
             idx.rank(q, 10).collect()
             timings[name] = round(time.time() - t0, 3)
-        # the same hot-term query through the EXHAUSTIVE scorer — the
-        # WAND speedup denominator
+        # the production WAND-vs-exhaustive routing alternatives (skew
+        # pair = Gate A's 3-block case; hot pair = Gate P's unprunable
+        # case) — timed as production paths
         from fulltextsearch_spark.operators.bm25 import (
             rank_query_exhaustive,
             rank_terms_wand,
         )
 
-        t0 = time.time()
-        rank_query_exhaustive(idx, "WORD(t0)", 10).collect()
-        timings["q_bm25_hot_exhaustive"] = round(time.time() - t0, 3)
-        # prune-ratio evidence (untimed stats re-runs: stats mode adds
-        # two cache-count jobs, so ratios come from separate calls)
-        wand_hot: dict = {}
-        rank_terms_wand(idx, ["t0"], 10, stats=wand_hot).collect()
         wand_skew: dict = {}
         t0 = time.time()
         rank_terms_wand(idx, ["zmarkerz", "t500"], 5, stats=wand_skew).collect()
         timings["q_bm25_wand_skew"] = round(time.time() - t0, 3)
-        # same-grade multi-term OR over two HOT terms: their blocks are
-        # doc-local (a 4096-occ block of a hot term spans ~2k docs), so
-        # the grid residual sees locally-varying other-term bounds and
-        # can prune; mid/rare term pairs whose single block spans the
-        # whole corpus structurally cannot prune (every block may hold
-        # a top doc) and are not evidence either way
         wand_multi: dict = {}
         t0 = time.time()
         rank_terms_wand(idx, ["t0", "t1"], 10, stats=wand_multi).collect()
         timings["q_bm25_wand_multi"] = round(time.time() - t0, 3)
+
+        # ---- diagnostics (NOT in the headline sum / queries dict):
+        # exhaustive counterparts quantify the routing win, the q_seq
+        # timing-style pair de-confounds the r2->r3 measurement change,
+        # and the wand stats probe records prune ratios (VERDICT r3 #8a)
+        diag: dict[str, float] = {}
+        t0 = time.time()
+        rank_query_exhaustive(idx, "WORD(t0)", 10).collect()
+        diag["q_bm25_hot_exhaustive"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        rank_query_exhaustive(
+            idx, "OR(WORD(t3),WORD(t11),WORD(t250))", 10
+        ).collect()
+        diag["q_bm25_or_exhaustive"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        idx.search("SEQ(WORD(t0),WORD(t1))").count()
+        diag["q_seq_count_style"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        idx.search("SEQ(WORD(zmarkerz),WORD(t0))").limit(1000).collect()
+        diag["q_seq_skew"] = round(time.time() - t0, 3)
+        wand_hot: dict = {}
+        rank_terms_wand(idx, ["t0"], 10, stats=wand_hot).collect()
 
         # breadth: pipeline ops over the driver documents table
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -176,13 +188,17 @@ def main() -> None:
                     "n_docs": n_docs,
                     "index_docs_per_sec": docs_per_sec,
                     "cpus": cpus,
+                    "diagnostics": diag,
                     "wand_hot_blocks_total": wand_hot.get("n_blocks"),
                     "wand_hot_blocks_seeded": wand_hot.get("n_blocks_seeded"),
                     "wand_hot_blocks_decoded": wand_hot.get("n_blocks_decoded"),
+                    "wand_hot_route": wand_hot.get("route"),
                     "wand_skew_blocks_total": wand_skew.get("n_blocks"),
                     "wand_skew_blocks_decoded": wand_skew.get("n_blocks_decoded"),
+                    "wand_skew_route": wand_skew.get("route"),
                     "wand_multi_blocks_total": wand_multi.get("n_blocks"),
                     "wand_multi_blocks_decoded": wand_multi.get("n_blocks_decoded"),
+                    "wand_multi_route": wand_multi.get("route"),
                 }
             )
         )

@@ -191,18 +191,34 @@ def _phrase(index, terms: list[str]) -> DataFrame:
     leg's doc set immediately, the same reason the reference's leapfrog
     drives from the shortest posting list. A term missing from the
     dictionary short-circuits to the empty match stream.
+
+    Blocks-mode indexes additionally prune the OTHER legs' blocks by
+    the rarest leg's merged [first_doc, last_doc] windows before any
+    payload decode (Index.block_doc_ranges — driver-side metadata, zero
+    jobs): a hot leg's block that overlaps no rare-leg window cannot
+    contribute a phrase match, the same skip the reference's leapfrog
+    gets by seeking the long list to the short list's doc ids
+    (PhraseQuery.cs:21-73). A dense rare leg yields windows covering
+    everything (ranges=None) and the prune is a no-op.
     """
     df_map = term_dfs(index, terms)
     if any(df_map[t] is None for t in terms):
         return _empty(index)
+    order = sorted(range(len(terms)), key=lambda i: (df_map[terms[i]], i))
+    rare = terms[order[0]]
+    range_fn = getattr(index, "block_doc_ranges", None)
+    ranges = (
+        range_fn(rare) if range_fn is not None and len(set(terms)) > 1 else None
+    )
     legs = []
     for i, term in enumerate(terms):
+        if ranges is not None and term != rare:
+            p = index.postings(exact_terms=[term], doc_ranges=ranges)
+        else:
+            p = expanded_postings(index, WordAst(term, term))
         legs.append(
-            expanded_postings(index, WordAst(term, term)).select(
-                "doc_id", "field_id", F.col("positions").alias(f"p{i}")
-            )
+            p.select("doc_id", "field_id", F.col("positions").alias(f"p{i}"))
         )
-    order = sorted(range(len(terms)), key=lambda i: (df_map[terms[i]], i))
     joined = legs[order[0]]
     for i in order[1:]:
         joined = joined.join(legs[i], ["doc_id", "field_id"])

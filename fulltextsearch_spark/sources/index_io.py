@@ -73,6 +73,21 @@ def pick_n_buckets(n_docs: int) -> int:
 # uncompressed binary)
 BLOCK_MODES = ("blocks", "groupvarint", "packedints", "binary")
 
+# Driver-side fast path: exact-term lookups whose candidate blocks hold
+# at most this many occurrences are read with pyarrow ON THE DRIVER
+# (bucket-pruned directories + term row-group stats) and decoded
+# in-process — zero Spark jobs for the read, a 1-task local-relation
+# job for the collect, instead of a 32-task parquet scan stage whose
+# ~0.7s is almost all scheduling (VERDICT r3 #3). 64k occurrences ≈ 16
+# full blocks ≈ a couple MB on the driver — far below any executor's
+# working set, so the path can never pull a hot term's postings into
+# the driver (the metadata pre-read bails out first).
+LOCAL_FAST_MAX_OCC = 1 << 16
+
+
+def _local_fast_enabled() -> bool:
+    return not os.environ.get("FTS_NO_LOCAL_FAST_PATH")
+
 
 def term_bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
@@ -716,6 +731,7 @@ class Index:
         term_pred=None,
         exact_terms: list[str] | None = None,
         min_doc: int | None = None,
+        doc_ranges: list[tuple[int, int]] | None = None,
     ) -> DataFrame:
         """Posting rows, optionally filtered.
 
@@ -726,12 +742,28 @@ class Index:
         ``min_doc``: lower-bound seek (ISkipList.LowerBound analog,
         SURVEY §2.D13) — in blocks mode prunes whole blocks via the
         ``last_doc`` skip column before any payload decode, then seeks
-        within surviving blocks.
+        within surviving blocks. ``doc_ranges``: inclusive [lo, hi]
+        doc-id windows; blocks whose [first_doc, last_doc] span misses
+        every window are pruned BEFORE decode (phrase/AND legs pass the
+        rarest leg's block ranges here — the leapfrog-from-the-shortest-
+        list analog, PhraseQuery.cs:21-73). Range-filtered rows may
+        still contain out-of-window docs (block granularity); callers
+        join on doc_id, so extras are harmless.
         """
         in_blocks = self.mode in BLOCK_MODES
         table = "blocks" if in_blocks else "postings"
         df = self._union(table)
         if exact_terms is not None:
+            if in_blocks and _local_fast_enabled():
+                pdf = self._local_postings_pdf(
+                    exact_terms, min_doc=min_doc, doc_ranges=doc_ranges
+                )
+                if pdf is not None:
+                    from fulltextsearch_spark.plans.planner import (
+                        POSTING_SCHEMA,
+                    )
+
+                    return self.spark.createDataFrame(pdf, POSTING_SCHEMA)
             df = df.where(F.col("bucket").isin(self._buckets_of(exact_terms)))
             df = df.where(F.col("term").isin(exact_terms))
         else:
@@ -743,6 +775,17 @@ class Index:
                 df = df.where(F.col("bucket") < self.n_buckets)
             if term_pred is not None:
                 df = df.where(term_pred)
+        if doc_ranges is not None:
+            range_col = "doc_id" if not in_blocks else None
+            preds = [
+                (F.col("last_doc") >= lo) & (F.col("first_doc") <= hi)
+                if in_blocks
+                else F.col(range_col).between(lo, hi)
+                for lo, hi in doc_ranges
+            ]
+            df = df.where(
+                reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
+            )
         if in_blocks:
             if min_doc is not None:
                 df = df.where(F.col("last_doc") >= min_doc)
@@ -752,6 +795,57 @@ class Index:
         elif min_doc is not None:
             df = df.where(F.col("doc_id") >= min_doc)
         return df.select("term", "doc_id", "field_id", "positions", "tf")
+
+    def block_doc_ranges(
+        self, term: str, max_ranges: int = 64
+    ) -> list[tuple[int, int]] | None:
+        """Merged [first_doc, last_doc] windows of one term's blocks —
+        read driver-side from block metadata (pyarrow, zero Spark jobs,
+        payloads untouched), memoized per handle. Returns None when the
+        index has no block metadata, the fast path is disabled, or the
+        term's windows stay too fragmented to make a useful pushdown
+        predicate (> max_ranges after merging — a dense term whose
+        windows cover everything prunes nothing anyway)."""
+        if self.mode not in BLOCK_MODES or not _local_fast_enabled():
+            return None
+        cache = getattr(self, "_range_cache", None)
+        if cache is None:
+            cache = {}
+            setattr(self, "_range_cache", cache)
+        if term in cache:
+            return cache[term]
+        try:
+            import pyarrow.dataset as pads
+        except Exception:  # pragma: no cover - pyarrow is a hard dep
+            return None
+        files = self._local_block_files([term])
+        result: list[tuple[int, int]] | None
+        if not files:
+            result = []
+        else:
+            tbl = pads.dataset(files, format="parquet").to_table(
+                columns=["first_doc", "last_doc"],
+                filter=pads.field("term") == term,
+            )
+            spans = sorted(
+                zip(
+                    tbl.column("first_doc").to_pylist(),
+                    tbl.column("last_doc").to_pylist(),
+                )
+            )
+            merged: list[list[int]] = []
+            for lo, hi in spans:
+                if merged and lo <= merged[-1][1] + 1:
+                    merged[-1][1] = max(merged[-1][1], hi)
+                else:
+                    merged.append([lo, hi])
+            result = (
+                [(lo, hi) for lo, hi in merged]
+                if len(merged) <= max_ranges
+                else None
+            )
+        cache[term] = result
+        return result
 
     def blocks(self, exact_terms: list[str] | None = None) -> DataFrame:
         """Raw block rows (blocks mode) for block-max pruning paths."""
@@ -763,6 +857,117 @@ class Index:
                 F.col("term").isin(exact_terms)
             )
         return df
+
+    def _local_block_files(self, terms: list[str]) -> list[str]:
+        """Parquet part files of every bucket directory (all segments)
+        the exact terms can live in — pure path arithmetic + one listdir
+        per pruned directory, no Spark. (pyarrow.dataset requires file
+        paths when given a list.)"""
+        files = []
+        for seg in self._seg_paths("blocks"):
+            for b in self._buckets_of(terms):
+                d = os.path.join(seg, f"bucket={b}")
+                if os.path.isdir(d):
+                    files.extend(
+                        os.path.join(d, f)
+                        for f in sorted(os.listdir(d))
+                        if f.endswith(".parquet")
+                    )
+        return files
+
+    def _local_postings_pdf(
+        self,
+        terms: list[str],
+        min_doc: int | None = None,
+        doc_ranges: list[tuple[int, int]] | None = None,
+    ):
+        """Driver-side exact-term posting read, or None when the term is
+        too hot for the fast path (LOCAL_FAST_MAX_OCC).
+
+        Two pyarrow passes over the bucket-pruned block directories:
+        (1) metadata only (term, n_occ — payload column never touched)
+        to size the candidate set; (2) payloads of the surviving blocks,
+        decoded in-process with the same numpy codec the executors use.
+        Bucket files are term-sorted, so parquet row-group stats prune
+        non-matching row groups in both passes. The per-term occurrence
+        totals memoize on the handle (segments are immutable), so a
+        repeated term costs one file read, zero metadata re-scans."""
+        try:
+            import pyarrow.dataset as pads
+        except Exception:  # pragma: no cover - pyarrow is a hard dep
+            return None
+        cache = getattr(self, "_local_occ_cache", None)
+        if cache is None:
+            cache = {}
+            setattr(self, "_local_occ_cache", cache)
+        files = self._local_block_files(terms)
+        if not files:
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "field_id": pd.Series([], dtype="int32"),
+                    "positions": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype="int32"),
+                }
+            )
+        dataset = pads.dataset(files, format="parquet")
+        flt = pads.field("term").isin(terms)
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            meta = dataset.to_table(columns=["term", "n_occ"], filter=flt)
+            occ = meta.to_pandas().groupby("term")["n_occ"].sum().to_dict()
+            for t in terms:
+                cache[t] = int(occ.get(t, 0))
+        if sum(cache[t] for t in terms) > LOCAL_FAST_MAX_OCC:
+            return None
+        import numpy as np
+        import pandas as pd
+
+        tbl = dataset.to_table(columns=["term", "payload"], filter=flt)
+        decode_block = B._block_codec(self.mode)[1]
+        out_term, out_doc, out_field, out_pos, out_tf = [], [], [], [], []
+        for term, payload in zip(
+            tbl.column("term").to_pylist(), tbl.column("payload").to_pylist()
+        ):
+            docs, fields, pos = decode_block(bytes(payload))
+            if min_doc is not None:
+                keep = docs >= min_doc
+                docs, fields, pos = docs[keep], fields[keep], pos[keep]
+            if doc_ranges is not None and len(docs):
+                # same block-granularity window filter as the
+                # distributed path (keep the whole block iff its
+                # [min, max] doc span overlaps any window — docs are
+                # sorted, and block first/last_doc ARE that span), so
+                # both paths return identical rows
+                if not any(
+                    docs[0] <= hi and docs[-1] >= lo for lo, hi in doc_ranges
+                ):
+                    continue
+            if len(docs) == 0:
+                continue
+            bnd = np.empty(len(docs), dtype=bool)
+            bnd[0] = True
+            bnd[1:] = (docs[1:] != docs[:-1]) | (fields[1:] != fields[:-1])
+            starts = np.nonzero(bnd)[0]
+            ends = np.append(starts[1:], len(docs))
+            for s, e in zip(starts, ends):
+                out_term.append(term)
+                out_doc.append(int(docs[s]))
+                out_field.append(int(fields[s]))
+                out_pos.append(pos[s:e].astype(np.int32).tolist())
+                out_tf.append(int(e - s))
+        return pd.DataFrame(
+            {
+                "term": out_term,
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "field_id": pd.Series(out_field, dtype="int32"),
+                "positions": out_pos,
+                "tf": pd.Series(out_tf, dtype="int32"),
+            }
+        )
 
     def _buckets_of(self, terms: list[str]) -> list[int]:
         """Bucket ids for exact terms — computed on the driver with the

@@ -26,15 +26,25 @@ def test_word_query_prunes_bucket_partitions(spark, pms_index_roots):
     assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:200]
 
 
-def test_blocks_decode_scans_only_payload_columns(spark, pms_index_roots):
-    """Column pruning: the decode path reads term+payload, not the
-    whole block row."""
+def test_blocks_decode_scans_only_payload_columns(
+    spark, pms_index_roots, monkeypatch
+):
+    """Column pruning + predicate pushdown on the distributed blocks
+    path (fast path disabled — fixture terms would otherwise resolve
+    driver-side): the decode scan reads term+payload only, carries the
+    bucket partition filter, and pushes the exact-term predicate down
+    so parquet row-group term min/max stats prune inside each bucket
+    file (files are written term-sorted — VERDICT r3 #4)."""
+    monkeypatch.setenv("FTS_NO_LOCAL_FAST_PATH", "1")
     idx = Index.open(spark, pms_index_roots["blocks"])
     df = idx.postings(exact_terms=["this"])
     plan = _plan(df)
     scan = plan.split("ReadSchema")[-1][:300]
     assert "payload" in scan
     assert "first_doc" not in scan  # metadata cols pruned when not seeking
+    assert "PartitionFilters" in plan and "bucket" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "In(term" in pushed or "EqualTo(term" in pushed
 
 
 def test_bm25_broadcasts_dictionary(spark, pms_index_roots):
@@ -57,11 +67,14 @@ def test_topk_is_take_ordered_not_global_sort(spark, pms_index_roots):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_wild_expands_via_dictionary_then_bucket_prunes(spark, pms_index_roots):
+def test_wild_expands_via_dictionary_then_bucket_prunes(
+    spark, pms_index_roots, monkeypatch
+):
     """Dictionary-first WILD: the posting scan carries a bucket
     partition filter + an exact term IN-list — never a LIKE over the
     full postings table (reference's DFA-guided dictionary traversal,
     TernaryDictionary.cs:182-250)."""
+    monkeypatch.setenv("FTS_NO_LOCAL_FAST_PATH", "1")
     from fulltextsearch_spark.plans.ast import WildAst
     from fulltextsearch_spark.plans.planner import expand_terms, expanded_postings
 
@@ -75,6 +88,41 @@ def test_wild_expands_via_dictionary_then_bucket_prunes(spark, pms_index_roots):
         pushed = plan.split("PushedFilters")[1][:300]
         assert "In(term" in pushed or "EqualTo(term" in pushed
         assert "LIKE" not in plan.upper().replace("UNLIKELY", "")
+
+
+def test_phrase_rare_leg_block_range_prune(spark, pms_index_roots, monkeypatch):
+    """VERDICT r3 #2: the rarest phrase leg's merged block doc-windows
+    prune the other legs' blocks before decode. (a) block_doc_ranges
+    reads windows driver-side; (b) the window predicate is pushed into
+    the hot leg's parquet scan (row-group prunable); (c) phrase results
+    are identical with pruning on and off."""
+    idx = Index.open(spark, pms_index_roots["blocks"])
+    ranges = idx.block_doc_ranges("petro")
+    assert ranges and all(lo <= hi for lo, hi in ranges)
+    # absent term -> empty window list (legs short-circuit earlier via df)
+    assert idx.block_doc_ranges("nosuchterm") == []
+    q = "SEQ(WORD(this),WORD(test))"
+    with_prune = sorted(
+        (r["doc_id"], r["field_id"], list(r["positions"]))
+        for r in idx.search(q).collect()
+    )
+    monkeypatch.setenv("FTS_NO_LOCAL_FAST_PATH", "1")
+    idx_off = Index.open(spark, pms_index_roots["blocks"])
+    assert idx_off.block_doc_ranges("petro") is None  # prune disabled too
+    without = sorted(
+        (r["doc_id"], r["field_id"], list(r["positions"]))
+        for r in idx_off.search(q).collect()
+    )
+    assert with_prune == without
+    # plan shape: the window predicate reaches the blocks parquet scan
+    df = idx_off.postings(exact_terms=["this"], doc_ranges=[(2, 5)])
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "last_doc" in pushed and "first_doc" in pushed, pushed
+    rows = df.collect()
+    assert rows  # golden docs 3-5 carry 'this'
+    # empty window list -> empty result, no scan needed
+    assert idx_off.postings(exact_terms=["this"], doc_ranges=[]).count() == 0
 
 
 def test_edit_expands_via_dictionary(spark, pms_index_roots):

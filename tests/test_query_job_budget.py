@@ -56,6 +56,66 @@ def test_seq_query_job_budget(spark, idx):
     assert again <= 2, again  # term dfs memoized
 
 
+def test_local_fast_path_zero_jobs(spark, idx):
+    """Driver-side fast path (VERDICT r3 #3): a bucket-pruned exact-term
+    posting read below LOCAL_FAST_MAX_OCC resolves with pyarrow on the
+    driver — ZERO Spark jobs for the read itself — and the end-to-end
+    search needs only the single local-relation collect job."""
+    jobs = _jobs_for(
+        spark, "fast-read", lambda: idx.postings(exact_terms=["this"])
+    )
+    assert jobs == 0, jobs
+    # end-to-end: plan + collect over the local relation
+    got = _jobs_for(
+        spark,
+        "fast-search",
+        lambda: idx.search("WORD(this)").limit(100).collect(),
+    )
+    assert got <= 1, got
+
+
+def test_local_fast_path_matches_distributed(spark, pms_index_roots, monkeypatch):
+    """Fast-path rows are identical to the distributed decode, and a
+    term over the occurrence cap falls back to the Spark path."""
+    from fulltextsearch_spark.sources import index_io
+
+    idx_fast = Index.open(spark, pms_index_roots["blocks"])
+    fast = sorted(
+        (r["term"], r["doc_id"], r["field_id"], list(r["positions"]), r["tf"])
+        for r in idx_fast.postings(exact_terms=["this", "test"]).collect()
+    )
+    monkeypatch.setenv("FTS_NO_LOCAL_FAST_PATH", "1")
+    idx_dist = Index.open(spark, pms_index_roots["blocks"])
+    dist = sorted(
+        (r["term"], r["doc_id"], r["field_id"], list(r["positions"]), r["tf"])
+        for r in idx_dist.postings(exact_terms=["this", "test"]).collect()
+    )
+    assert fast == dist and fast
+    monkeypatch.delenv("FTS_NO_LOCAL_FAST_PATH")
+    # over-cap terms must route to the distributed scan (plan has a scan)
+    monkeypatch.setattr(index_io, "LOCAL_FAST_MAX_OCC", 0)
+    idx_cap = Index.open(spark, pms_index_roots["blocks"])
+    df = idx_cap.postings(exact_terms=["this"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan or "FileScan" in plan
+    capped = sorted(
+        (r["term"], r["doc_id"], r["field_id"], list(r["positions"]), r["tf"])
+        for r in df.collect()
+    )
+    assert capped == sorted(t for t in fast if t[0] == "this")
+
+
+def test_local_fast_path_min_doc_seek(spark, idx):
+    """min_doc lower-bound seek applies on the driver-side decode too."""
+    full = idx.postings(exact_terms=["this"]).collect()
+    assert len(full) >= 2
+    cut = sorted(r["doc_id"] for r in full)[1]
+    seek = idx.postings(exact_terms=["this"], min_doc=cut).collect()
+    assert sorted(r["doc_id"] for r in seek) == sorted(
+        r["doc_id"] for r in full if r["doc_id"] >= cut
+    )
+
+
 def test_wild_query_job_budget(spark, idx):
     first = _jobs_for(
         spark, "budget-wild-1", lambda: idx.search("WILD(te*)").limit(100).collect()
