@@ -81,7 +81,7 @@ def _compound_index(spark: SparkSession, sf_dir: str) -> Index:
     if key not in _IDX_CACHE:
         import tempfile
 
-        toks = TS.tokens_col(F.col("text"))
+        toks = TS.tokens_col(F.col("text"), on_non_ascii="error")
         pages = _docs(spark, sf_dir).select(
             "doc_id",
             F.array_join(F.slice(toks, 1, 8), " ").alias("title"),
@@ -331,14 +331,14 @@ def q_ann_lsh(spark, sf_dir):
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic: marker-word argmax per doc."""
     docs = _docs(spark, sf_dir)
-    toks = TS.tokens_col(F.col("text"))
+    toks = TS.tokens_col(F.col("text"), on_non_ascii="error")
     return docs.select("doc_id", TS.lang_id_col(toks).alias("pred_lang"))
 
 
 def q_quality(spark, sf_dir):
     """Quality scoring: token/char/stopword features + composite score."""
     docs = _docs(spark, sf_dir)
-    out = TS.with_quality(docs, "text")
+    out = TS.with_quality(docs, "text", on_non_ascii="error")
     return out.select(
         "doc_id",
         F.col("q_n_tokens").cast("long").alias("n_tokens"),
@@ -354,14 +354,14 @@ def q_token_counts(spark, sf_dir):
     return docs.select(
         "doc_id",
         TS.token_count_whitespace(F.col("text")).cast("long").alias("ws_tokens"),
-        TS.token_count_bpe_ish(F.col("text")).alias("bpe_tokens"),
+        TS.token_count_bpe_ish(F.col("text"), on_non_ascii="error").alias("bpe_tokens"),
     )
 
 
 def q_fingerprint(spark, sf_dir):
     """Rolling polynomial document fingerprint (md5-token-based)."""
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", TS.fingerprint_col(F.col("text")).alias("fp"))
+    return docs.select("doc_id", TS.fingerprint_col(F.col("text"), on_non_ascii="error").alias("fp"))
 
 
 def q_repetition(spark, sf_dir):
@@ -370,7 +370,9 @@ def q_repetition(spark, sf_dir):
     filter (functions/repetition.py)."""
     from fulltextsearch_spark.functions.repetition import repetition_signals
 
-    return repetition_signals(_docs(spark, sf_dir), "text", ns=(2, 3))
+    return repetition_signals(
+        _docs(spark, sf_dir), "text", ns=(2, 3), on_non_ascii="error"
+    )
 
 
 def q_events_windowed(spark, sf_dir):

@@ -94,6 +94,42 @@ def main() -> None:
         # tests/test_query_job_budget.py); the mix below measures the
         # steady-state interactive floor
         idx.search("WORD(qwarmupq)").limit(1).collect()
+        if os.environ.get("FTS_BENCH_QUERY_MIX_ONLY"):
+            # query-side scaling evidence (VERDICT r3 #5): the build is
+            # untimed scaffolding; ONE timed pass over a fixed mix of
+            # distributed-path queries (hot scans, joins, BM25 ranking —
+            # driver-side fast-path lookups excluded: they do not use
+            # executor cores by design)
+            qmix = [
+                "WORD(t0)",
+                "OR(WORD(t3),WORD(t11),WORD(t250))",
+                "AND(WORD(t1),WORD(t2))",
+                "SEQ(WORD(t0),WORD(t1))",
+            ]
+            rmix = ["WORD(t0)", "OR(WORD(t3),WORD(t11),WORD(t250))"]
+            t0 = time.time()
+            for q in qmix:
+                idx.search(q).limit(1000).collect()
+            for q in rmix:
+                idx.rank(q, 10).collect()
+            mix_sec = round(time.time() - t0, 3)
+            print(
+                json.dumps(
+                    {
+                        "metric": "query-mix wall clock",
+                        "value": mix_sec,
+                        "unit": "sec",
+                        "queries": {"query_mix": mix_sec},
+                        "sf": sf,
+                        "n_docs": n_docs,
+                        "mix_per_sec": round(
+                            (len(qmix) + len(rmix)) / mix_sec, 3
+                        ),
+                        "cpus": cpus,
+                    }
+                )
+            )
+            return
         query_mix = {
             "q_word_hot": "WORD(t0)",          # stopword-grade df
             "q_word_mid": "WORD(t500)",

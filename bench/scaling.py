@@ -18,9 +18,12 @@ sizes):
 - Each run waits for the 1-minute loadavg to drop below a threshold so
   a neighbor's burst doesn't pollute a sample.
 
-Usage: python bench/scaling.py [n_docs] [repeats] [levels]
+Usage: python bench/scaling.py [n_docs] [repeats] [levels] [mode]
        (levels: comma-separated core counts, default 2,8,32 —
-       targeted extra reps accumulate in BENCH/scaling_runs.jsonl)
+       targeted extra reps accumulate in BENCH/scaling_runs.jsonl;
+       mode: "build" (default) times the index build, "query" times a
+       fixed distributed-query mix over an untimed prebuilt index and
+       writes its own efficiency table — VERDICT r3 #5)
 """
 
 from __future__ import annotations
@@ -48,15 +51,18 @@ def wait_quiet() -> float:
     return load
 
 
-def run_at(cpus: int, n_docs: int) -> dict:
+def run_at(cpus: int, n_docs: int, mode: str = "build") -> dict:
     load = wait_quiet()
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         FTS_BENCH_DOCS=str(n_docs),
-        FTS_BENCH_BUILD_ONLY="1",
         PYTHONPATH=REPO,
     )
+    if mode == "query":
+        env["FTS_BENCH_QUERY_MIX_ONLY"] = "1"
+    else:
+        env["FTS_BENCH_BUILD_ONLY"] = "1"
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
          os.path.join(REPO, "bench.py")],
@@ -79,12 +85,22 @@ def main() -> None:
         if len(sys.argv) > 3
         else (2, 8, 32)
     )
-    # every run is appended to BENCH/scaling_runs.jsonl and best-of is
+    mode = sys.argv[4] if len(sys.argv) > 4 else "build"
+    time_key = (
+        (lambda run: run["queries"]["query_mix"])
+        if mode == "query"
+        else (lambda run: run["queries"]["index_build"])
+    )
+    tput_key = "mix_per_sec" if mode == "query" else "index_docs_per_sec"
+    # every run is appended to the mode's runs jsonl and best-of is
     # computed over ALL recorded runs at this n_docs — so extra reps
     # (including level-targeted ones) accumulate across invocations,
     # which is how best-of-N defeats the VM's noisy-neighbor swings
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    runs_path = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+    runs_name = (
+        "scaling_query_runs.jsonl" if mode == "query" else "scaling_runs.jsonl"
+    )
+    runs_path = os.path.join(REPO, "BENCH", runs_name)
     results: dict[int, dict] = {}
     if os.path.exists(runs_path):
         with open(runs_path) as f:
@@ -93,29 +109,34 @@ def main() -> None:
                 if run["n_docs"] != n_docs:
                     continue
                 c = run["cpus"]
-                if (
-                    c not in results
-                    or run["queries"]["index_build"]
-                    < results[c]["queries"]["index_build"]
-                ):
+                if c not in results or time_key(run) < time_key(results[c]):
                     results[c] = run
     n_prior = sum(1 for _ in open(runs_path)) if os.path.exists(runs_path) else 0
     for r in range(repeats):
         for cpus in levels:
-            run = run_at(cpus, n_docs)
+            run = run_at(cpus, n_docs, mode)
             print(f"[rep {r}] pinned local[{cpus}]: {run}", file=sys.stderr)
             with open(runs_path, "a") as f:
                 f.write(json.dumps(run) + "\n")
             best = results.get(cpus)
-            if best is None or run["queries"]["index_build"] < best["queries"]["index_build"]:
+            if best is None or time_key(run) < time_key(best):
                 results[cpus] = run
             time.sleep(10)
     repeats_desc = f"{n_prior + repeats * len(levels)} recorded runs"
 
     def eff(lo: int, hi: int) -> float:
-        return results[hi]["index_docs_per_sec"] / (
-            4 * results[lo]["index_docs_per_sec"]
-        )
+        return results[hi][tput_key] / (4 * results[lo][tput_key])
+
+    if mode == "query":
+        _write_query_section(n_docs, repeats_desc, results, eff)
+        print(json.dumps({
+            "mode": "query",
+            "n_docs": n_docs,
+            "best": {c: results[c][tput_key] for c in sorted(results)},
+            "eff_2_8": round(eff(2, 8), 3) if 2 in results and 8 in results else None,
+            "eff_8_32": round(eff(8, 32), 3) if 8 in results and 32 in results else None,
+        }))
+        return
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     rows = "\n".join(
@@ -172,6 +193,50 @@ Reproduce: `python bench/scaling.py {n_docs} {repeats}`.
         "eff_2_8": round(eff(2, 8), 3),
         "eff_8_32": round(eff(8, 32), 3),
     }))
+
+
+def _write_query_section(n_docs, repeats_desc, results, eff) -> None:
+    """Second BASELINE.md table: distributed-query-mix scaling under the
+    same pinning protocol (its own marker block, appended after the
+    build section)."""
+    rows = "\n".join(
+        f"| local[{c}] pinned to {c} cores |"
+        f" {results[c]['queries']['query_mix']} |"
+        f" {results[c]['mix_per_sec']} |"
+        for c in sorted(results)
+    )
+    pairs = []
+    if 2 in results and 8 in results:
+        pairs.append(f"- N=2 → 4N=8 cores: **{eff(2, 8):.3f}**")
+    if 8 in results and 32 in results:
+        pairs.append(f"- N=8 → 4N=32 cores: {eff(8, 32):.3f}")
+    section = f"""<!-- scaling-query:begin (written by bench/scaling.py; hand edits inside are overwritten) -->
+## Query-mix scaling (same pinning protocol)
+
+The distributed query mix (hot WORD scan, 3-term OR, AND semi-join,
+hot-hot SEQ, BM25 rank on the hot term and the OR — driver-side
+fast-path lookups excluded by design: they use no executor cores) over
+an untimed prebuilt blocks index of n_docs={n_docs}, one timed pass per
+pinned fresh-JVM run, best over {repeats_desc}
+(BENCH/scaling_query_runs.jsonl holds every sample).
+
+| parallelism | query mix (s) | mix queries/sec |
+|---|---|---|
+{rows}
+
+**Query-mix scaling efficiency (throughput_4N / (4 × throughput_N)):**
+
+{chr(10).join(pairs)}
+<!-- scaling-query:end -->"""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = re.compile(r"<!-- scaling-query:begin.*?<!-- scaling-query:end -->", re.S)
+    text = open(path).read() if os.path.exists(path) else ""
+    if marker.search(text):
+        text = marker.sub(lambda _: section, text, count=1)
+    else:
+        text = text.rstrip("\n") + "\n\n" + section + "\n"
+    with open(path, "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":

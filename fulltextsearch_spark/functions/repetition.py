@@ -41,7 +41,10 @@ def ngrams_col(toks, n: int):
 
 
 def repetition_signals(
-    docs: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+    docs: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+    on_non_ascii: str = "ascii",
 ) -> DataFrame:
     """Per-doc repetition fractions for each n in ``ns``.
 
@@ -55,7 +58,7 @@ def repetition_signals(
     pivot to the wide per-doc row, then a single left join restores
     docs with no grams at all.
     """
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(F.col(text_col), on_non_ascii)
     per_n = (
         docs.select(
             "doc_id",

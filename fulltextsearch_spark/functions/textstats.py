@@ -25,16 +25,40 @@ _FP_MOD = 2147483647  # 2^31 - 1
 _HPRIME = 1073741789
 
 
-def tokens_col(text_col):
+def tokens_col(text_col, on_non_ascii: str = "ascii"):
     """ASCII-range token array equivalent to the engine tokenizer on
     ASCII text: maximal runs of [a-z0-9_-] after lowercasing.
 
-    (On non-ASCII text use functions.tokenizer.tokenize_terms_udf; this
-    column-only variant exists so stats pipelines stay JVM-side.)
+    CONTRACT (VERDICT r3 #8b): on non-ASCII text this column DIVERGES
+    from the engine tokenizer (functions/tokenizer.py — a UTF-16 FSM
+    that keeps non-ASCII letter runs as tokens): here any non-ASCII
+    character acts as a separator. ``on_non_ascii`` picks the behavior:
+
+    - "ascii" (default): documented divergence — fine for heuristic
+      signals (quality scores, repetition filters) over web text.
+    - "error": fail fast (assert_true per row) the moment a non-ASCII
+      character appears — used by the oracle-checked driver entries,
+      whose DuckDB twins assume the ASCII regex is tokenizer-exact.
+
+    For engine-exact tokens on arbitrary text use
+    functions.tokenizer.tokenize_terms_udf; this column-only variant
+    exists so stats pipelines stay JVM-side.
     """
-    return F.filter(
+    toks = F.filter(
         F.split(F.lower(text_col), "[^a-z0-9_-]+"), lambda t: t != ""
     )
+    if on_non_ascii == "error":
+        guard = F.assert_true(
+            ~text_col.rlike("[^\\x00-\\x7F]"),
+            F.lit(
+                "tokens_col(on_non_ascii='error'): non-ASCII text — "
+                "use tokenize_terms_udf for engine-exact tokens"
+            ),
+        )
+        return F.when(guard.isNull(), toks)
+    if on_non_ascii != "ascii":
+        raise ValueError(f"unknown on_non_ascii mode {on_non_ascii!r}")
+    return toks
 
 
 def _in_set(words):
@@ -63,9 +87,9 @@ def lang_id_col(toks):
     return F.array_min(pairs)["lang"]
 
 
-def quality_features(text_col):
+def quality_features(text_col, on_non_ascii: str = "ascii"):
     """(n_chars, n_tokens, avg_token_len, stopword_ratio, alnum_ratio)."""
-    toks = tokens_col(text_col)
+    toks = tokens_col(text_col, on_non_ascii)
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
     total_tok_chars = F.aggregate(
@@ -85,8 +109,8 @@ def quality_features(text_col):
     }
 
 
-def with_quality(df, text_col: str = "text"):
-    f = quality_features(F.col(text_col))
+def with_quality(df, text_col: str = "text", on_non_ascii: str = "ascii"):
+    f = quality_features(F.col(text_col), on_non_ascii)
     df = df.withColumns({f"q_{k}": v for k, v in f.items()})
     score = (
         F.lit(0.4) * F.least(F.col("q_n_tokens") / F.lit(200.0), F.lit(1.0))
@@ -100,10 +124,10 @@ def token_count_whitespace(text_col):
     return F.size(F.filter(F.split(text_col, " +"), lambda t: t != ""))
 
 
-def token_count_bpe_ish(text_col):
+def token_count_bpe_ish(text_col, on_non_ascii: str = "ascii"):
     """BPE-proxy token count: ceil(len/4) per word — a deterministic
     stand-in for subword tokenizers (true BPE needs a vocab artifact)."""
-    toks = tokens_col(text_col)
+    toks = tokens_col(text_col, on_non_ascii)
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
@@ -111,13 +135,13 @@ def token_count_bpe_ish(text_col):
     )
 
 
-def fingerprint_col(text_col):
+def fingerprint_col(text_col, on_non_ascii: str = "ascii"):
     """Rolling polynomial hash over token hashes, mod 2^31-1.
 
     fp = fold(tokens, acc -> (acc*31 + h60(token) % HPRIME) % MOD).
     Deterministic and reproducible in DuckDB (list_reduce + md5).
     """
-    toks = tokens_col(text_col)
+    toks = tokens_col(text_col, on_non_ascii)
     h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % F.lit(
         _HPRIME
     )

@@ -182,6 +182,30 @@ def test_token_counts_and_fingerprint(spark):
     assert by_id[1]["fp"] != by_id[3]["fp"]
 
 
+def test_tokens_col_non_ascii_guard(spark):
+    """VERDICT r3 #8b: tokens_col silently diverges from the engine
+    tokenizer on non-ASCII text; on_non_ascii='error' fails fast so
+    oracle-exact pipelines can't drift, while the default stays
+    permissive for heuristic signals."""
+    from pyspark.sql import functions as F
+
+    from fulltextsearch_spark.functions.textstats import tokens_col
+
+    ok = spark.createDataFrame([(1, "Hello world-1")], "doc_id long, text string")
+    assert ok.select(
+        tokens_col(F.col("text"), "error").alias("t")
+    ).collect()[0]["t"] == ["hello", "world-1"]
+    bad = spark.createDataFrame([(1, "hello wörld")], "doc_id long, text string")
+    # permissive default: non-ASCII char acts as a separator
+    assert bad.select(tokens_col(F.col("text")).alias("t")).collect()[0][
+        "t"
+    ] == ["hello", "w", "rld"]
+    with pytest.raises(Exception, match="non-ASCII|ASSERT"):
+        bad.select(tokens_col(F.col("text"), "error").alias("t")).collect()
+    with pytest.raises(ValueError, match="on_non_ascii"):
+        tokens_col(F.col("text"), "bogus")
+
+
 def test_repetition_signals(spark):
     """Hand-computed Gopher-style n-gram repetition fractions."""
     from fulltextsearch_spark.functions.repetition import (
