@@ -161,12 +161,23 @@ GRID_CELLS = 4096
 # Routing gates (rank quality is unaffected — every route is exact):
 # WAND's seed/grid phases only pay when they can skip >~half the decode
 # work. Candidate sets at/below ~2 seed budgets route straight to the
-# one-job exhaustive decode (Gate A); multi-term queries whose BEST-CASE
-# survivor fraction (θ capped by the top cell's combined bound — no doc
-# can score higher) exceeds this route exhaustive before any seed decode
-# (Gate P); after θ is known, a measured survivor fraction above this
-# drops the residual-join decode for the plain full decode (Gate B).
+# one-job exhaustive decode (Gate A); multi-term queries whose predicted
+# survivor fraction at an estimated θ exceeds this route exhaustive
+# before any seed decode (Gate P); after θ is known, a measured survivor
+# fraction above this drops the residual-join decode for the plain full
+# decode (Gate B).
 WAND_MAX_SURVIVOR_FRAC = 0.5
+
+# Gate P's θ estimate, as a fraction of θ_cap = the top cell's combined
+# bound (no doc can score above θ_cap, so 1.0 would be the certain
+# floor). Hot tf-saturated term pairs land their true θ in this band —
+# their per-block bounds sit in a narrow band just under the cap, so
+# survivors at 0.8·cap ≈ survivors at real θ ≈ all of them (measured:
+# t0,t1 passed the 1.0-cap floor check, then decoded 1965/1965 after
+# paying the full seed+grid round-trips). Spread-heavy candidates (the
+# genuinely prunable shape: long-tail blocks far under the top ones)
+# stay well below this gate either way.
+WAND_THETA_EST_FRAC = 0.8
 
 
 def _id_span(index, n_docs: int) -> int:
@@ -429,23 +440,30 @@ def rank_terms_wand(
                 .groupBy("term", "first_doc")
                 .agg(F.max(F.col("tot_gub") - F.col("gub")).alias("others_ub"))
             )
-            # Gate P: best-case payoff check BEFORE any payload decode.
-            # θ can never exceed the top cell's combined bound (a doc's
-            # score ≤ Σ_u gub(u, its cell)), so survivors at θ_cap are
-            # the FLOOR of any achievable decode set. Same-grade hot
-            # term pairs (near-uniform cell bounds) bottom out near
-            # 100% here — route them to the one-job exhaustive decode
-            # instead of paying seed + grid round-trips to prune ~0
-            # (round-3: q_bm25_or decoded 1961/1965 blocks through the
-            # full WAND machinery and lost 3x to the exhaustive path).
+            # Gate P: predicted payoff check BEFORE any payload decode.
+            # θ can never exceed θ_cap = the top cell's combined bound
+            # (a doc's score ≤ Σ_u gub(u, its cell)); hot tf-saturated
+            # pairs land their real θ just under it, so survivors at
+            # the WAND_THETA_EST_FRAC·θ_cap estimate predict the real
+            # decode set. Same-grade hot term pairs (narrow ub bands)
+            # bottom out near 100% here — route them to the one-job
+            # exhaustive decode instead of paying seed + grid
+            # round-trips to prune ~0 (round-3: q_bm25_or decoded
+            # 1961/1965 blocks through full WAND and lost 3x).
             if gates:
-                theta_cap = (
-                    tot.agg(F.max("tot_gub").alias("m")).collect()[0]["m"]
+                # one metadata job: θ_cap rides in as a broadcast 1-row
+                # aggregate instead of its own collect round-trip
+                cap = tot.agg(
+                    (F.max("tot_gub") * WAND_THETA_EST_FRAC).alias(
+                        "theta_est"
+                    )
                 )
                 n_floor = (
                     blocks.join(F.broadcast(others), ["term", "first_doc"])
+                    .crossJoin(F.broadcast(cap))
                     .where(
-                        F.col("ub") + F.col("others_ub") >= F.lit(theta_cap)
+                        F.col("ub") + F.col("others_ub")
+                        >= F.col("theta_est")
                     )
                     .count()
                 )
