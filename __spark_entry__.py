@@ -220,6 +220,16 @@ def q_bm25_topk_wand(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_bm25_wild(spark, sf_dir):
+    """M4 ranking over a pattern expansion: BM25 top-20 for WILD(dat*)
+    — the leaf expands against the dictionary first, then scores the
+    union of expanded terms' postings (per-term idf, summed per doc)."""
+    idx = _index(spark, sf_dir)
+    return idx.rank("WILD(dat*)", 20).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_compound_field_postings(spark, sf_dir):
     """A4 compound docs: per-(doc, field) postings of WORD(data) on the
     two-field (title tokens 1-8 / body rest) index — field-local tf and
@@ -397,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_expand": q_edit_expand,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_wild": q_bm25_wild,
         "compound_field_postings": q_compound_field_postings,
         "doc_id_assignment": q_doc_id_assignment,
         "dedup_exact": q_dedup_exact,
@@ -478,6 +489,11 @@ scored AS (
 SELECT doc_id, round(score, 6) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 20
 """
+
+# same scoring, term set = the dictionary expansion of WILD(dat*)
+_BM25_WILD_ORACLE = _BM25_ORACLE.replace(
+    "WHERE term IN ('data', 'query')", "WHERE term LIKE 'dat%'"
+)
 
 _QUALITY_ORACLE = f"""
 WITH {_TOKLIST_CTE},
@@ -665,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _BM25_ORACLE,
         "bm25_topk_wand": _BM25_ORACLE,
+        "bm25_wild": _BM25_WILD_ORACLE,
         "doc_id_assignment": """
             SELECT 'driver://' || source || '/' || doc_id AS url,
                    row_number() OVER (ORDER BY 'driver://' || source || '/' || doc_id) AS new_id

@@ -27,16 +27,19 @@ def build_workload(terms_by_df: list[str], n_queries: int, seed: int = 42):
     rng = random.Random(seed)
     n = len(terms_by_df)
 
-    def stratified():
+    def stratified(with_band: bool = False):
         # pick across the df spectrum: hot (top 1%), mid, tail
         band = rng.random()
         if band < 0.3:
             i = rng.randrange(0, max(1, n // 100))
+            b = "hot"
         elif band < 0.7:
             i = rng.randrange(n // 100, max(2, n // 4))
+            b = "mid"
         else:
             i = rng.randrange(n // 4, n)
-        return terms_by_df[i]
+            b = "tail"
+        return (terms_by_df[i], b) if with_band else terms_by_df[i]
 
     mix = (
         [("word", 40)], [("or", 20)], [("and", 15)], [("seq", 15)],
@@ -49,7 +52,13 @@ def build_workload(terms_by_df: list[str], n_queries: int, seed: int = 42):
         take = max(1, round(cnt * n_queries / total))
         for _ in range(take):
             if kind == "word":
-                queries.append(("word", f"WORD({stratified()})"))
+                # hot-band WORDs report as their own class: they take
+                # the distributed scan path, while mid/tail resolve on
+                # the driver fast path — mixing them hides the floor
+                t, b = stratified(with_band=True)
+                queries.append(
+                    ("word_hot" if b == "hot" else "word_midtail", f"WORD({t})")
+                )
             elif kind == "or":
                 k = rng.choice([2, 2, 3])
                 queries.append(

@@ -763,7 +763,13 @@ class Index:
                         POSTING_SCHEMA,
                     )
 
-                    return self.spark.createDataFrame(pdf, POSTING_SCHEMA)
+                    # coalesce(1): createDataFrame slices the local
+                    # relation into defaultParallelism (32) partitions,
+                    # turning a sub-64k-occ point lookup into 32 tiny
+                    # tasks — measured ~2x the whole query's latency
+                    return self.spark.createDataFrame(
+                        pdf, POSTING_SCHEMA
+                    ).coalesce(1)
             df = df.where(F.col("bucket").isin(self._buckets_of(exact_terms)))
             df = df.where(F.col("term").isin(exact_terms))
         else:
@@ -818,12 +824,12 @@ class Index:
             import pyarrow.dataset as pads
         except Exception:  # pragma: no cover - pyarrow is a hard dep
             return None
-        files = self._local_block_files([term])
+        dataset = self._local_dataset([term])
         result: list[tuple[int, int]] | None
-        if not files:
+        if dataset is None:
             result = []
         else:
-            tbl = pads.dataset(files, format="parquet").to_table(
+            tbl = dataset.to_table(
                 columns=["first_doc", "last_doc"],
                 filter=pads.field("term") == term,
             )
@@ -875,6 +881,27 @@ class Index:
                     )
         return files
 
+    def _local_dataset(self, terms: list[str]):
+        """pyarrow dataset over the terms' bucket part files, memoized
+        per file set: ParquetFileFragment caches row-group metadata
+        after the first scan, so repeated driver-side lookups in the
+        same bucket skip the ~100-file footer parse (the dominant cost
+        of a warm point lookup). Segments are immutable, so the cache
+        can never go stale. Returns None when no files exist."""
+        files = self._local_block_files(terms)
+        if not files:
+            return None
+        import pyarrow.dataset as pads
+
+        cache = getattr(self, "_local_ds_cache", None)
+        if cache is None:
+            cache = {}
+            setattr(self, "_local_ds_cache", cache)
+        key = tuple(files)
+        if key not in cache:
+            cache[key] = pads.dataset(files, format="parquet")
+        return cache[key]
+
     def _local_postings_pdf(
         self,
         terms: list[str],
@@ -884,14 +911,15 @@ class Index:
         """Driver-side exact-term posting read, or None when the term is
         too hot for the fast path (LOCAL_FAST_MAX_OCC).
 
-        Two pyarrow passes over the bucket-pruned block directories:
-        (1) metadata only (term, n_occ — payload column never touched)
-        to size the candidate set; (2) payloads of the surviving blocks,
-        decoded in-process with the same numpy codec the executors use.
-        Bucket files are term-sorted, so parquet row-group stats prune
-        non-matching row groups in both passes. The per-term occurrence
-        totals memoize on the handle (segments are immutable), so a
-        repeated term costs one file read, zero metadata re-scans."""
+        ONE budgeted pyarrow scanner pass over the bucket-pruned block
+        part files: batches stream in (term row-group stats prune
+        non-matching row groups — files are term-sorted) and the read
+        ABORTS the moment the running n_occ total exceeds
+        LOCAL_FAST_MAX_OCC, so a hot term costs at most ~one extra
+        batch before falling back to the distributed path. The
+        small-enough verdict memoizes per term set on the handle
+        (segments are immutable): a known-hot set skips the IO
+        entirely on repeat queries."""
         try:
             import pyarrow.dataset as pads
         except Exception:  # pragma: no cover - pyarrow is a hard dep
@@ -900,37 +928,44 @@ class Index:
         if cache is None:
             cache = {}
             setattr(self, "_local_occ_cache", cache)
-        files = self._local_block_files(terms)
-        if not files:
-            import pandas as pd
-
-            return pd.DataFrame(
-                {
-                    "term": pd.Series([], dtype=object),
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "field_id": pd.Series([], dtype="int32"),
-                    "positions": pd.Series([], dtype=object),
-                    "tf": pd.Series([], dtype="int32"),
-                }
-            )
-        dataset = pads.dataset(files, format="parquet")
-        flt = pads.field("term").isin(terms)
-        missing = [t for t in terms if t not in cache]
-        if missing:
-            meta = dataset.to_table(columns=["term", "n_occ"], filter=flt)
-            occ = meta.to_pandas().groupby("term")["n_occ"].sum().to_dict()
-            for t in terms:
-                cache[t] = int(occ.get(t, 0))
-        if sum(cache[t] for t in terms) > LOCAL_FAST_MAX_OCC:
-            return None
         import numpy as np
         import pandas as pd
 
-        tbl = dataset.to_table(columns=["term", "payload"], filter=flt)
+        empty = pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "field_id": pd.Series([], dtype="int32"),
+                "positions": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype="int32"),
+            }
+        )
+        key = tuple(sorted(set(terms)))
+        if cache.get(key) is False:  # known too hot for the fast path
+            return None
+        dataset = self._local_dataset(terms)
+        if dataset is None:
+            return empty
+        flt = pads.field("term").isin(terms)
+        scanner = dataset.scanner(
+            columns=["term", "n_occ", "payload"], filter=flt
+        )
+        batches, total = [], 0
+        for rb in scanner.to_batches():
+            if rb.num_rows == 0:
+                continue
+            total += int(np.sum(rb.column(1).to_numpy(zero_copy_only=False)))
+            if total > LOCAL_FAST_MAX_OCC:
+                cache[key] = False
+                return None
+            batches.append(rb)
+        cache[key] = True
         decode_block = B._block_codec(self.mode)[1]
         out_term, out_doc, out_field, out_pos, out_tf = [], [], [], [], []
-        for term, payload in zip(
-            tbl.column("term").to_pylist(), tbl.column("payload").to_pylist()
+        for term, payload in (
+            (t, p)
+            for rb in batches
+            for t, p in zip(rb.column(0).to_pylist(), rb.column(2).to_pylist())
         ):
             docs, fields, pos = decode_block(bytes(payload))
             if min_doc is not None:
