@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--input", required=True, help="pages parquet path")
     pi.add_argument("--root", required=True)
     pi.add_argument("--mode", default="blocks", choices=["arrays", "blocks", "groupvarint", "packedints", "binary"])
+    pi.add_argument("--dict-encoding", default=None,
+                    choices=["huffman"],
+                    help="store dictionary keys var-len char-coded (C13)")
     pi.add_argument("--extract-html", action="store_true",
                     help="derive text from the html column")
 
@@ -51,7 +54,10 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(a.input)
         if a.extract_html:
             pages = pages.withColumn("text", extract_text_udf("html"))
-        manifest = build_index(spark, pages, a.root, mode=a.mode, input_desc=a.input)
+        manifest = build_index(
+            spark, pages, a.root, mode=a.mode, input_desc=a.input,
+            dict_encoding=a.dict_encoding,
+        )
         seg = manifest["segments"][-1]
         print(f"committed segment {seg['id']}: {seg['n_docs']} docs, "
               f"{seg['metrics']['n_terms']} terms in {seg['metrics']['build_sec']}s")

@@ -121,6 +121,104 @@ def _sorted_bucketed(df: DataFrame, *extra_sort_cols: str) -> DataFrame:
     ).sortWithinPartitions(*cols)
 
 
+def _build_dict_code(spark: SparkSession, dict_path: str) -> dict[int, int]:
+    """Canonical-Huffman bit lengths measured from the segment's own
+    dictionary characters (SURVEY §2.C13 — the reference uses a static
+    latin table; per-index frequencies fit any corpus). One tiny agg
+    over the one-row-per-term dictionary."""
+    from fulltextsearch_spark.functions import charcodes as CC
+
+    rows = (
+        spark.read.parquet(dict_path)
+        .select(F.explode(F.split("term", "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    freqs = {ord(r["ch"]): int(r["n"]) for r in rows if len(r["ch"]) == 1}
+    return CC.huffman_lengths(freqs)
+
+
+def _encode_dictionary_dir(
+    spark: SparkSession, dict_path: str, lengths: dict[int, int]
+) -> None:
+    """Replace a plain dictionary parquet dir with the var-len-coded
+    layout (term_code binary, code_bits, df, cf) — the stored table
+    carries NO plain term column, like the reference's encoded
+    dictionary files. Local-FS dir swap; on an object store the swap
+    would be a manifest pointer flip instead."""
+    import shutil
+
+    import pandas as pd
+
+    from fulltextsearch_spark.functions import charcodes as CC
+
+    codes = CC.canonical_codes(lengths)
+
+    def run(pdfs):
+        for pdf in pdfs:
+            encs = [CC.encode_term(t, codes) for t in pdf["term"]]
+            yield pd.DataFrame(
+                {
+                    "term_code": [e[0] for e in encs],
+                    "code_bits": pd.Series(
+                        [e[1] for e in encs], dtype="int32"
+                    ),
+                    "df": pdf["df"],
+                    "cf": pdf["cf"],
+                }
+            )
+
+    tmp = dict_path + ".enc.tmp"
+    spark.read.parquet(dict_path).mapInPandas(
+        run, "term_code binary, code_bits int, df long, cf long"
+    ).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(dict_path)
+    os.rename(tmp, dict_path)
+
+
+def decode_dictionary(df: DataFrame, lengths: dict[int, int]) -> DataFrame:
+    """(term_code, code_bits, df, cf) -> (term, df, cf) — the
+    decode-while-reading analog of the reference's DecodingMatcher."""
+    import pandas as pd
+
+    from fulltextsearch_spark.functions import charcodes as CC
+
+    table = CC.decode_table_from_lengths(lengths)
+
+    def run(pdfs):
+        for pdf in pdfs:
+            yield pd.DataFrame(
+                {
+                    "term": [
+                        CC.decode_term(bytes(d), int(n), table)
+                        for d, n in zip(pdf["term_code"], pdf["code_bits"])
+                    ],
+                    "df": pdf["df"],
+                    "cf": pdf["cf"],
+                }
+            )
+
+    return df.mapInPandas(run, "term string, df long, cf long")
+
+
+def _maybe_encode_dict(
+    spark: SparkSession, seg_path: str, manifest: dict
+) -> None:
+    """Re-apply the manifest's frozen dictionary char code to a freshly
+    written plain dictionary dir (compaction paths)."""
+    enc = manifest["type"].get("dict_encoding")
+    if enc:
+        from fulltextsearch_spark.functions import charcodes as CC
+
+        _encode_dictionary_dir(
+            spark,
+            os.path.join(seg_path, "dictionary"),
+            CC.lengths_from_json(enc["lengths"]),
+        )
+
+
 def _read_manifest(root: str) -> dict | None:
     p = os.path.join(root, MANIFEST)
     if not os.path.exists(p):
@@ -148,6 +246,7 @@ def build_index(
     batch_key: str | None = None,
     preassigned_ids: bool = False,
     field_cols: list[str] | None = None,
+    dict_encoding: str | None = None,
 ) -> dict:
     """Append one index segment built from ``pages``; returns the manifest.
 
@@ -173,6 +272,13 @@ def build_index(
     column becomes field_id 1..N. Blocks never split a document, so
     block-max WAND bounds stay score-safe (operators/build.py).
 
+    ``dict_encoding="huffman"`` stores dictionary keys under a
+    canonical var-len char code measured from the first segment's own
+    characters (SURVEY §2.C13 — functions/charcodes.py); the stored
+    dictionary has no plain term column, appends/compaction reuse the
+    manifest's frozen code table (ESC covers unseen characters), and
+    query semantics are identical (Index.dictionary decodes).
+
     Driver-action budget (scaling efficiency): one id job, one staged
     postings write (THE tokenize pass — doc positions ride along as
     sentinel rows), one blocks write (blocks mode), dictionary /
@@ -181,6 +287,8 @@ def build_index(
     no extra counting jobs.
     """
     t0 = time.time()
+    if dict_encoding not in (None, "huffman"):
+        raise ValueError(f"unknown dict_encoding {dict_encoding!r}")
     os.makedirs(root, exist_ok=True)
     text_cols = list(field_cols) if field_cols else ["text"]
     n_fields = len(text_cols)
@@ -204,6 +312,12 @@ def build_index(
             raise ValueError(
                 "n_buckets is fixed at index creation "
                 f"(manifest: {manifest['type']['n_buckets']})"
+            )
+        prior_enc = (manifest["type"].get("dict_encoding") or {}).get("name")
+        if prior_enc != dict_encoding:
+            raise ValueError(
+                "dict_encoding is fixed at index creation "
+                f"(manifest: {prior_enc!r}, got {dict_encoding!r})"
             )
     if manifest is not None and batch_key is not None and any(
         s.get("batch_key") == batch_key
@@ -423,6 +537,21 @@ def build_index(
         .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"))
         .collect()[0]
     )
+    if dict_encoding is not None:
+        from fulltextsearch_spark.functions import charcodes as CC
+
+        enc = manifest["type"].get("dict_encoding")
+        if enc is None:  # first segment freezes the code table
+            enc = {
+                "name": dict_encoding,
+                "lengths": CC.lengths_to_json(
+                    _build_dict_code(spark, dict_path)
+                ),
+            }
+            manifest["type"]["dict_encoding"] = enc
+        _encode_dictionary_dir(
+            spark, dict_path, CC.lengths_from_json(enc["lengths"])
+        )
     with_ids.unpersist()
 
     segment = {
@@ -541,6 +670,7 @@ def compact_index(
             F.sum("n_docs").cast("long").alias("df"),
             F.sum("n_occ").cast("long").alias("cf"),
         ).write.mode("overwrite").parquet(os.path.join(seg_path, "dictionary"))
+        _maybe_encode_dict(spark, seg_path, manifest)
         sent = blocks_committed.where(F.col("bucket") == n_b)
         if single_field:
             stats_df = sent.select(
@@ -574,6 +704,7 @@ def compact_index(
         B.build_dictionary(merged, single_field=single_field).write.mode(
             "overwrite"
         ).parquet(os.path.join(seg_path, "dictionary"))
+        _maybe_encode_dict(spark, seg_path, manifest)
         idx.doc_stats().write.mode("overwrite").parquet(
             os.path.join(seg_path, "doc_stats")
         )
@@ -684,9 +815,16 @@ class Index:
         a fresh handle, so staleness cannot occur.
         """
         if self._dictionary_cache is None:
+            base = self._union("dictionary")
+            enc = self.manifest["type"].get("dict_encoding")
+            if enc:  # var-len-coded keys (C13) — decode while reading
+                from fulltextsearch_spark.functions import charcodes as CC
+
+                base = decode_dictionary(
+                    base, CC.lengths_from_json(enc["lengths"])
+                )
             self._dictionary_cache = (
-                self._union("dictionary")
-                .groupBy("term")
+                base.groupBy("term")
                 .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
                 .persist()
             )
