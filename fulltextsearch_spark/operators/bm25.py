@@ -50,9 +50,20 @@ def _tfn_col(tf_col, avgdl: float):
     )
 
 
-def _leaf_scores(index, node, n_docs: int, avgdl: float) -> DataFrame:
-    """Terminal node → (doc_id, score)."""
-    postings = expanded_postings(index, node)
+def _leaf_scores(
+    index, node, n_docs: int, avgdl: float, doc_ranges=None
+) -> DataFrame:
+    """Terminal node → (doc_id, score). ``doc_ranges`` (WORD leaves
+    under AND) prunes the leg's blocks to the rarest sibling's doc
+    windows before decode — idf/dl stay global (dictionary/doc_stats
+    joins), and AND keeps only docs present in every child, all of
+    which lie inside the rarest leg's windows, so scores are exact."""
+    if doc_ranges is not None and isinstance(node, WordAst):
+        postings = index.postings(
+            exact_terms=[node.value], doc_ranges=doc_ranges
+        )
+    else:
+        postings = expanded_postings(index, node)
     # doc-level tf per term (sum over fields), then join stats
     doc_tf = postings.groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))
     dictionary = index.dictionary()
@@ -96,16 +107,48 @@ def score_node(index, node: AstQuery, n_docs: int, avgdl: float) -> DataFrame:
             if len(node.args) == 1:
                 return _leaf_scores(index, node.args[0], n_docs, avgdl)
             return _phrase_scores(index, node, n_docs, avgdl)
-        children = [score_node(index, a, n_docs, avgdl) for a in node.args]
-        if not children:
+        if not node.args:
             return index.spark.createDataFrame([], "doc_id long, score double")
         if node.name == "OR":
+            children = [score_node(index, a, n_docs, avgdl) for a in node.args]
             return (
                 reduce(DataFrame.unionAll, children)
                 .groupBy("doc_id")
                 .agg(F.sum("score").alias("score"))
             )
         if node.name == "AND":
+            # all-WORD AND: rarest leg's block doc-windows prune the
+            # other legs' decode (see _leaf_scores; planner twin in
+            # plans/planner.py plan_node)
+            from fulltextsearch_spark.plans.planner import rare_word_ranges
+
+            rw = (
+                rare_word_ranges(index, [a.value for a in node.args])
+                if all(isinstance(a, WordAst) for a in node.args)
+                else None
+            )
+            if rw is not None and rw[1] == []:
+                return index.spark.createDataFrame(
+                    [], "doc_id long, score double"
+                )
+            children = [
+                _leaf_scores(
+                    index,
+                    a,
+                    n_docs,
+                    avgdl,
+                    doc_ranges=(
+                        rw[1]
+                        if rw is not None
+                        and rw[1] is not None
+                        and a.value != rw[0]
+                        else None
+                    ),
+                )
+                if isinstance(a, WordAst)
+                else score_node(index, a, n_docs, avgdl)
+                for a in node.args
+            ]
             return reduce(
                 lambda a, b: a.join(b, "doc_id").select(
                     "doc_id", (a["score"] + b["score"]).alias("score")

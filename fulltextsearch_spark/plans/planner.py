@@ -168,14 +168,39 @@ def expanded_postings(index, node: AstQuery) -> DataFrame:
     return index.postings(exact_terms=terms)
 
 
-def _occurrences(index, node: AstQuery) -> DataFrame:
-    """Terminal → match stream: one row per occurrence (TermQuery, D7)."""
-    p = expanded_postings(index, node)
+def _occ_rows(p: DataFrame) -> DataFrame:
+    """posting rows → match stream (one row per occurrence)."""
     return p.select(
         "doc_id",
         "field_id",
         F.explode("positions").alias("pos"),
     ).select("doc_id", "field_id", F.array("pos").alias("positions"))
+
+
+def _occurrences(index, node: AstQuery) -> DataFrame:
+    """Terminal → match stream: one row per occurrence (TermQuery, D7)."""
+    return _occ_rows(expanded_postings(index, node))
+
+
+def rare_word_ranges(
+    index, terms: list[str]
+) -> tuple[str, list[tuple[int, int]] | None] | None:
+    """(rarest term, its merged block doc windows) for an all-WORD
+    conjunction-like node set, or None when the index can't provide
+    windows / a term list degenerates. A missing term returns
+    ``(term, [])`` — the caller should short-circuit to empty. Safe for
+    AND and SEQ alike: any qualifying doc appears in the rarest leg,
+    hence inside its windows; block-granularity extras are removed by
+    the downstream join."""
+    range_fn = getattr(index, "block_doc_ranges", None)
+    if range_fn is None or len(set(terms)) < 2:
+        return None
+    df_map = term_dfs(index, terms)
+    missing = [t for t in terms if df_map[t] is None]
+    if missing:
+        return (missing[0], [])
+    rare = min(terms, key=lambda t: (df_map[t], t))
+    return (rare, range_fn(rare))
 
 
 def _phrase(index, terms: list[str]) -> DataFrame:
@@ -259,12 +284,36 @@ def plan_node(index, node: AstQuery) -> DataFrame:
             if len(terms) == 1:
                 return _occurrences(index, node.args[0])
             return _phrase(index, terms)
-        children = [plan_node(index, a) for a in node.args]
-        if not children:
+        if not node.args:
             return _empty(index)
         if node.name == "OR":
-            return reduce(DataFrame.unionAll, children)
+            return reduce(
+                DataFrame.unionAll, [plan_node(index, a) for a in node.args]
+            )
         if node.name == "AND":
+            # all-WORD conjunction: the rarest leg's block doc-windows
+            # prune the other legs' blocks before decode (same skip as
+            # SEQ — a qualifying doc must appear in the rarest leg, so
+            # window-pruned extras die in the doc-id semi-join)
+            rw = (
+                rare_word_ranges(index, [a.value for a in node.args])
+                if all(isinstance(a, WordAst) for a in node.args)
+                else None
+            )
+            if rw is not None and rw[1] == []:
+                return _empty(index)  # a term is absent -> no doc qualifies
+            children = []
+            for a in node.args:
+                if rw is not None and rw[1] is not None and a.value != rw[0]:
+                    children.append(
+                        _occ_rows(
+                            index.postings(
+                                exact_terms=[a.value], doc_ranges=rw[1]
+                            )
+                        )
+                    )
+                else:
+                    children.append(plan_node(index, a))
             doc_sets = [c.select("doc_id").distinct() for c in children]
             qualifying = reduce(lambda a, b: a.join(b, "doc_id"), doc_sets)
             matches = reduce(DataFrame.unionAll, children)

@@ -125,6 +125,36 @@ def test_phrase_rare_leg_block_range_prune(spark, pms_index_roots, monkeypatch):
     assert idx_off.postings(exact_terms=["this"], doc_ranges=[]).count() == 0
 
 
+def test_and_rare_leg_block_range_prune(spark, pms_index_roots, monkeypatch):
+    """All-WORD AND legs prune by the rarest leg's block doc-windows
+    (same skip as SEQ): results and BM25 ranks identical with pruning
+    on and off; a missing term short-circuits to empty."""
+    from fulltextsearch_spark.operators.bm25 import rank_query_exhaustive
+
+    idx = Index.open(spark, pms_index_roots["blocks"])
+    key = lambda df: sorted(
+        (r["doc_id"], r["field_id"], list(r["positions"])) for r in df.collect()
+    )
+    q = "AND(WORD(this),WORD(test))"
+    with_prune = key(idx.search(q))
+    rank_on = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_query_exhaustive(idx, q, 5).collect()
+    ]
+    assert idx.search("AND(WORD(this),WORD(nosuchterm))").count() == 0
+    assert rank_query_exhaustive(
+        idx, "AND(WORD(this),WORD(nosuchterm))", 5
+    ).count() == 0
+    monkeypatch.setenv("FTS_NO_LOCAL_FAST_PATH", "1")
+    idx_off = Index.open(spark, pms_index_roots["blocks"])
+    assert idx_off.block_doc_ranges("this") is None  # prune disabled
+    assert key(idx_off.search(q)) == with_prune and with_prune
+    assert [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_query_exhaustive(idx_off, q, 5).collect()
+    ] == rank_on
+
+
 def test_edit_expands_via_dictionary(spark, pms_index_roots):
     from fulltextsearch_spark.plans.ast import EditAst
     from fulltextsearch_spark.plans.planner import expand_terms
