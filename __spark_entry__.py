@@ -220,6 +220,17 @@ def q_bm25_topk_wand(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_bm25_and(spark, sf_dir):
+    """M4 ranking over a conjunction: BM25 top-20 for
+    AND(WORD(data),WORD(query)) — only docs containing BOTH terms
+    qualify; the scorer prunes the hotter leg's blocks by the rarer
+    leg's doc windows (rank-exact, plans/planner.rare_word_ranges)."""
+    idx = _index(spark, sf_dir)
+    return idx.rank("AND(WORD(data),WORD(query))", 20).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_bm25_wild(spark, sf_dir):
     """M4 ranking over a pattern expansion: BM25 top-20 for WILD(dat*)
     — the leaf expands against the dictionary first, then scores the
@@ -407,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_expand": q_edit_expand,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_and": q_bm25_and,
         "bm25_wild": q_bm25_wild,
         "compound_field_postings": q_compound_field_postings,
         "doc_id_assignment": q_doc_id_assignment,
@@ -493,6 +505,15 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20
 # same scoring, term set = the dictionary expansion of WILD(dat*)
 _BM25_WILD_ORACLE = _BM25_ORACLE.replace(
     "WHERE term IN ('data', 'query')", "WHERE term LIKE 'dat%'"
+)
+
+# same scoring restricted to docs containing BOTH terms (AND semantics)
+_BM25_AND_ORACLE = _BM25_ORACLE.replace(
+    "FROM tf JOIN df USING (term)",
+    """FROM tf
+  JOIN (SELECT doc_id FROM tf GROUP BY doc_id
+        HAVING count(DISTINCT term) = 2) q USING (doc_id)
+  JOIN df USING (term)""",
 )
 
 _QUALITY_ORACLE = f"""
@@ -681,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _BM25_ORACLE,
         "bm25_topk_wand": _BM25_ORACLE,
+        "bm25_and": _BM25_AND_ORACLE,
         "bm25_wild": _BM25_WILD_ORACLE,
         "doc_id_assignment": """
             SELECT 'driver://' || source || '/' || doc_id AS url,
