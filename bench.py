@@ -231,6 +231,16 @@ def main() -> None:
         t0 = time.time()
         idx.search("SEQ(WORD(zmarkerz),WORD(t0))").limit(1000).collect()
         diag["q_seq_skew"] = round(time.time() - t0, 3)
+        # skewed conjunction: the rare leg's windows prune the hot
+        # leg's blocks (rare_word_ranges) — the shape AND-pruning buys
+        t0 = time.time()
+        idx.search("AND(WORD(zmarkerz),WORD(t0))").limit(1000).collect()
+        diag["q_and_skew"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        rank_query_exhaustive(
+            idx, "AND(WORD(zmarkerz),WORD(t0))", 10
+        ).collect()
+        diag["q_bm25_and_skew"] = round(time.time() - t0, 3)
         wand_hot: dict = {}
         rank_terms_wand(idx, ["t0"], 10, stats=wand_hot).collect()
 
