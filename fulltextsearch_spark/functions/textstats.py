@@ -48,8 +48,12 @@ def tokens_col(text_col, on_non_ascii: str = "ascii"):
         F.split(F.lower(text_col), "[^a-z0-9_-]+"), lambda t: t != ""
     )
     if on_non_ascii == "error":
+        # null-safe: rlike(NULL) is NULL, and assert_true(~NULL) would
+        # throw the misleading "non-ASCII" error on a NULL text row —
+        # coalesce lets NULL pass through as the default mode does
+        # (ADVICE r4)
         guard = F.assert_true(
-            ~text_col.rlike("[^\\x00-\\x7F]"),
+            F.coalesce(~text_col.rlike("[^\\x00-\\x7F]"), F.lit(True)),
             F.lit(
                 "tokens_col(on_non_ascii='error'): non-ASCII text — "
                 "use tokenize_terms_udf for engine-exact tokens"

@@ -174,8 +174,16 @@ def _encode_dictionary_dir(
     spark.read.parquet(dict_path).mapInPandas(
         run, "term_code binary, code_bits int, df long, cf long"
     ).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(dict_path)
+    # swap keeping a recoverable copy through the window: a crash
+    # between removing the plain dir and renaming the encoded one in
+    # would otherwise leave the segment with NO dictionary at all
+    # (compaction's post-bucket rewrite resumes by re-reading it —
+    # ADVICE r4)
+    old = dict_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(dict_path, old)
     os.rename(tmp, dict_path)
+    shutil.rmtree(old)
 
 
 def decode_dictionary(df: DataFrame, lengths: dict[int, int]) -> DataFrame:
@@ -965,7 +973,12 @@ class Index:
         dataset = self._local_dataset([term])
         result: list[tuple[int, int]] | None
         if dataset is None:
-            result = []
+            # no listable block files on the driver: report "no pruning
+            # available" (None), NOT "term absent" ([]) — emptiness must
+            # derive solely from the dictionary df (rare_word_ranges),
+            # else a driver/executor filesystem visibility mismatch
+            # would silently turn AND/SEQ results wrong-empty (ADVICE r4)
+            result = None
         else:
             tbl = dataset.to_table(
                 columns=["first_doc", "last_doc"],
@@ -1106,19 +1119,21 @@ class Index:
             for t, p in zip(rb.column(0).to_pylist(), rb.column(2).to_pylist())
         ):
             docs, fields, pos = decode_block(bytes(payload))
-            if min_doc is not None:
-                keep = docs >= min_doc
-                docs, fields, pos = docs[keep], fields[keep], pos[keep]
             if doc_ranges is not None and len(docs):
                 # same block-granularity window filter as the
                 # distributed path (keep the whole block iff its
                 # [min, max] doc span overlaps any window — docs are
-                # sorted, and block first/last_doc ARE that span), so
-                # both paths return identical rows
+                # sorted, and block first/last_doc ARE that span; the
+                # check runs on the UNTRIMMED span, before the min_doc
+                # row filter, so both paths keep the same blocks —
+                # ADVICE r4), so both paths return identical rows
                 if not any(
                     docs[0] <= hi and docs[-1] >= lo for lo, hi in doc_ranges
                 ):
                     continue
+            if min_doc is not None:
+                keep = docs >= min_doc
+                docs, fields, pos = docs[keep], fields[keep], pos[keep]
             if len(docs) == 0:
                 continue
             bnd = np.empty(len(docs), dtype=bool)
