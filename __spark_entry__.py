@@ -224,7 +224,7 @@ def q_bm25_and(spark, sf_dir):
     """M4 ranking over a conjunction: BM25 top-20 for
     AND(WORD(data),WORD(query)) — only docs containing BOTH terms
     qualify; the scorer prunes the hotter leg's blocks by the rarer
-    leg's doc windows (rank-exact, plans/planner.rare_word_ranges)."""
+    leg's doc windows (rank-exact, plans/planner.conj_postings_kwargs)."""
     idx = _index(spark, sf_dir)
     return idx.rank("AND(WORD(data),WORD(query))", 20).select(
         "doc_id", F.round("score", 6).alias("score")

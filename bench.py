@@ -232,7 +232,7 @@ def main() -> None:
         idx.search("SEQ(WORD(zmarkerz),WORD(t0))").limit(1000).collect()
         diag["q_seq_skew"] = round(time.time() - t0, 3)
         # skewed conjunction: the rare leg's windows prune the hot
-        # leg's blocks (rare_word_ranges) — the shape AND-pruning buys
+        # leg's blocks or block keys (conj_postings_kwargs) — the shape AND-pruning buys
         t0 = time.time()
         idx.search("AND(WORD(zmarkerz),WORD(t0))").limit(1000).collect()
         diag["q_and_skew"] = round(time.time() - t0, 3)

@@ -51,16 +51,18 @@ def _tfn_col(tf_col, avgdl: float):
 
 
 def _leaf_scores(
-    index, node, n_docs: int, avgdl: float, doc_ranges=None
+    index, node, n_docs: int, avgdl: float, postings_kwargs=None
 ) -> DataFrame:
-    """Terminal node → (doc_id, score). ``doc_ranges`` (WORD leaves
-    under AND) prunes the leg's blocks to the rarest sibling's doc
-    windows before decode — idf/dl stay global (dictionary/doc_stats
-    joins), and AND keeps only docs present in every child, all of
-    which lie inside the rarest leg's windows, so scores are exact."""
-    if doc_ranges is not None and isinstance(node, WordAst):
+    """Terminal node → (doc_id, score). ``postings_kwargs`` (WORD
+    leaves under AND) prunes the leg's blocks to the rarest sibling's
+    doc neighborhood before decode (conj_postings_kwargs: doc windows,
+    or exact block keys for scattered rare legs) — idf/dl stay global
+    (dictionary/doc_stats joins), and AND keeps only docs present in
+    every child, all of which lie inside the rarest leg's blocks, so
+    scores are exact."""
+    if postings_kwargs and isinstance(node, WordAst):
         postings = index.postings(
-            exact_terms=[node.value], doc_ranges=doc_ranges
+            exact_terms=[node.value], **postings_kwargs
         )
     else:
         postings = expanded_postings(index, node)
@@ -117,33 +119,25 @@ def score_node(index, node: AstQuery, n_docs: int, avgdl: float) -> DataFrame:
                 .agg(F.sum("score").alias("score"))
             )
         if node.name == "AND":
-            # all-WORD AND: rarest leg's block doc-windows prune the
-            # other legs' decode (see _leaf_scores; planner twin in
-            # plans/planner.py plan_node)
-            from fulltextsearch_spark.plans.planner import rare_word_ranges
-
-            rw = (
-                rare_word_ranges(index, [a.value for a in node.args])
-                if all(isinstance(a, WordAst) for a in node.args)
-                else None
+            # all-WORD AND: the rarest leg's doc neighborhood prunes
+            # the other legs' decode (see _leaf_scores; planner twin
+            # in plans/planner.py plan_node)
+            from fulltextsearch_spark.plans.planner import (
+                conj_postings_kwargs,
             )
-            if rw is not None and rw[1] == []:
+
+            kw = (
+                conj_postings_kwargs(index, [a.value for a in node.args])
+                if all(isinstance(a, WordAst) for a in node.args)
+                else {}
+            )
+            if kw is None:  # a term is absent -> no doc qualifies
                 return index.spark.createDataFrame(
                     [], "doc_id long, score double"
                 )
             children = [
                 _leaf_scores(
-                    index,
-                    a,
-                    n_docs,
-                    avgdl,
-                    doc_ranges=(
-                        rw[1]
-                        if rw is not None
-                        and rw[1] is not None
-                        and a.value != rw[0]
-                        else None
-                    ),
+                    index, a, n_docs, avgdl, postings_kwargs=kw.get(a.value)
                 )
                 if isinstance(a, WordAst)
                 else score_node(index, a, n_docs, avgdl)

@@ -182,25 +182,89 @@ def _occurrences(index, node: AstQuery) -> DataFrame:
     return _occ_rows(expanded_postings(index, node))
 
 
-def rare_word_ranges(
+# A rare leg's merged block doc-windows stop pruning anything when the
+# rare docs are SCATTERED: each of its few blocks spans a huge doc
+# range, the merged windows cover most of the corpus, and every hot-leg
+# block overlaps them (VERDICT r4 #2). Above this covered fraction of
+# the index's doc-id span the planner switches to doc-granularity
+# pruning: the rare leg's actual doc ids (driver-resident via the
+# ≤64k-occ fast path) pick the exact hot-leg blocks that contain one.
+WINDOW_COVERAGE_MAX = 0.5
+
+
+def _doc_id_span(index) -> int:
+    """Committed doc-id high water + 1 from the manifest (zero jobs);
+    0 when the handle has no manifest (memory indexes)."""
+    manifest = getattr(index, "manifest", None) or {}
+    return 1 + max(
+        (
+            s["doc_id_range"][1]
+            for s in manifest.get("segments", [])
+            if s.get("committed")
+        ),
+        default=-1,
+    )
+
+
+def conj_postings_kwargs(
     index, terms: list[str]
-) -> tuple[str, list[tuple[int, int]] | None] | None:
-    """(rarest term, its merged block doc windows) for an all-WORD
-    conjunction-like node set, or None when the index can't provide
-    windows / a term list degenerates. A missing term returns
-    ``(term, [])`` — the caller should short-circuit to empty. Safe for
-    AND and SEQ alike: any qualifying doc appears in the rarest leg,
-    hence inside its windows; block-granularity extras are removed by
-    the downstream join."""
-    range_fn = getattr(index, "block_doc_ranges", None)
-    if range_fn is None or len(set(terms)) < 2:
-        return None
+) -> dict[str, dict] | None:
+    """Per-term ``index.postings(exact_terms=[t], **kwargs)`` filter
+    kwargs for an all-WORD conjunction (AND and SEQ share this: any
+    qualifying doc appears in the rarest leg, so pruning the OTHER
+    legs to the rare leg's doc neighborhood is result-preserving —
+    block/window extras die in the downstream join).
+
+    Returns None when some term is absent from the dictionary (the
+    caller short-circuits to the empty result — emptiness derives ONLY
+    from the dictionary df, never from driver file visibility).
+    Otherwise: the rarest leg gets no filter; every other leg gets, in
+    preference order,
+      1. ``doc_ranges`` = the rare leg's merged block doc-windows, when
+         those windows cover ≤ WINDOW_COVERAGE_MAX of the doc-id span
+         (clustered rare term — cheap pushed range predicate), else
+      2. ``block_first_docs`` = the exact set of this leg's blocks
+         containing a rare doc (scattered rare term whose ids fit the
+         driver fast path — the leapfrog-at-doc-granularity analog,
+         PhraseQuery.cs:21-73), else
+      3. the windows again (hot rare leg: ids not driver-resident), or
+         no filter when no metadata path exists.
+    All driver-side block metadata, zero Spark jobs."""
     df_map = term_dfs(index, terms)
-    missing = [t for t in terms if df_map[t] is None]
-    if missing:
-        return (missing[0], [])
-    rare = min(terms, key=lambda t: (df_map[t], t))
-    return (rare, range_fn(rare))
+    if any(df_map[t] is None for t in terms):
+        return None
+    uniq = set(terms)
+    base: dict[str, dict] = {t: {} for t in uniq}
+    if len(uniq) < 2:
+        return base
+    range_fn = getattr(index, "block_doc_ranges", None)
+    if range_fn is None:
+        return base
+    rare = min(uniq, key=lambda t: (df_map[t], t))
+    ranges = range_fn(rare)
+    span = _doc_id_span(index)
+    covered = (
+        sum(hi - lo + 1 for lo, hi in ranges) if ranges is not None else None
+    )
+    if ranges and span > 0 and covered <= WINDOW_COVERAGE_MAX * span:
+        for t in uniq:
+            if t != rare:
+                base[t]["doc_ranges"] = ranges
+        return base
+    doc_ids = getattr(index, "term_doc_ids", lambda t: None)(rare)
+    for t in uniq:
+        if t == rare:
+            continue
+        keys = (
+            index.block_keys_for_docs(t, doc_ids)
+            if doc_ids is not None
+            else None
+        )
+        if keys is not None:
+            base[t]["block_first_docs"] = keys
+        elif ranges:
+            base[t]["doc_ranges"] = ranges
+    return base
 
 
 def _phrase(index, terms: list[str]) -> DataFrame:
@@ -217,30 +281,21 @@ def _phrase(index, terms: list[str]) -> DataFrame:
     drives from the shortest posting list. A term missing from the
     dictionary short-circuits to the empty match stream.
 
-    Blocks-mode indexes additionally prune the OTHER legs' blocks by
-    the rarest leg's merged [first_doc, last_doc] windows before any
-    payload decode (Index.block_doc_ranges — driver-side metadata, zero
-    jobs): a hot leg's block that overlaps no rare-leg window cannot
-    contribute a phrase match, the same skip the reference's leapfrog
-    gets by seeking the long list to the short list's doc ids
-    (PhraseQuery.cs:21-73). A dense rare leg yields windows covering
-    everything (ranges=None) and the prune is a no-op.
+    Blocks-mode indexes additionally prune the OTHER legs' blocks
+    before any payload decode via conj_postings_kwargs: the rarest
+    leg's merged doc windows when they are tight, or — scattered rare
+    docs — the exact hot-leg blocks containing a rare doc id. Same
+    skip the reference's leapfrog gets by seeking the long list to the
+    short list's doc ids (PhraseQuery.cs:21-73).
     """
     df_map = term_dfs(index, terms)
     if any(df_map[t] is None for t in terms):
         return _empty(index)
     order = sorted(range(len(terms)), key=lambda i: (df_map[terms[i]], i))
-    rare = terms[order[0]]
-    range_fn = getattr(index, "block_doc_ranges", None)
-    ranges = (
-        range_fn(rare) if range_fn is not None and len(set(terms)) > 1 else None
-    )
+    kw = conj_postings_kwargs(index, terms) or {}
     legs = []
     for i, term in enumerate(terms):
-        if ranges is not None and term != rare:
-            p = index.postings(exact_terms=[term], doc_ranges=ranges)
-        else:
-            p = expanded_postings(index, WordAst(term, term))
+        p = index.postings(exact_terms=[term], **kw.get(term, {}))
         legs.append(
             p.select("doc_id", "field_id", F.col("positions").alias(f"p{i}"))
         )
@@ -291,33 +346,49 @@ def plan_node(index, node: AstQuery) -> DataFrame:
                 DataFrame.unionAll, [plan_node(index, a) for a in node.args]
             )
         if node.name == "AND":
-            # all-WORD conjunction: the rarest leg's block doc-windows
-            # prune the other legs' blocks before decode (same skip as
-            # SEQ — a qualifying doc must appear in the rarest leg, so
-            # window-pruned extras die in the doc-id semi-join)
-            rw = (
-                rare_word_ranges(index, [a.value for a in node.args])
-                if all(isinstance(a, WordAst) for a in node.args)
-                else None
-            )
-            if rw is not None and rw[1] == []:
-                return _empty(index)  # a term is absent -> no doc qualifies
-            children = []
+            # all-WORD conjunction: the rarest leg's doc neighborhood
+            # (block windows, or exact block keys when the rare docs
+            # are scattered) prunes the other legs' decode — same skip
+            # as SEQ; window/block extras die in the doc-id semi-join
+            if all(isinstance(a, WordAst) for a in node.args):
+                kw = conj_postings_kwargs(
+                    index, [a.value for a in node.args]
+                )
+                if kw is None:
+                    return _empty(index)  # a term is absent
+            else:
+                kw = {}
+            # children stay UN-exploded: posting rows (one row per
+            # (doc, field), positions as an array) for terminals,
+            # match streams for nested operators. Doc qualification
+            # and the semi-join run on these rows; terminals explode
+            # to occurrence rows ONLY AFTER the join, so the explode
+            # processes |matching postings|, not |all postings| — a
+            # hot leg under a rare sibling otherwise exploded its
+            # whole posting set before any filtering (VERDICT r4 #1).
+            rows, is_posting = [], []
             for a in node.args:
-                if rw is not None and rw[1] is not None and a.value != rw[0]:
-                    children.append(
-                        _occ_rows(
-                            index.postings(
-                                exact_terms=[a.value], doc_ranges=rw[1]
-                            )
-                        )
+                if isinstance(a, WordAst):
+                    p = index.postings(
+                        exact_terms=[a.value], **kw.get(a.value, {})
                     )
+                elif isinstance(a, (WildAst, EditAst)):
+                    p = expanded_postings(index, a)
                 else:
-                    children.append(plan_node(index, a))
-            doc_sets = [c.select("doc_id").distinct() for c in children]
+                    rows.append(plan_node(index, a))
+                    is_posting.append(False)
+                    continue
+                rows.append(p.select("doc_id", "field_id", "positions"))
+                is_posting.append(True)
+            doc_sets = [r.select("doc_id").distinct() for r in rows]
             qualifying = reduce(lambda a, b: a.join(b, "doc_id"), doc_sets)
-            matches = reduce(DataFrame.unionAll, children)
-            return matches.join(qualifying, "doc_id", "left_semi")
+            parts = [
+                _occ_rows(r.join(qualifying, "doc_id", "left_semi"))
+                if posting
+                else r.join(qualifying, "doc_id", "left_semi")
+                for r, posting in zip(rows, is_posting)
+            ]
+            return reduce(DataFrame.unionAll, parts)
         raise ValueError(f"unknown operator {node.name}")
     raise TypeError(f"unknown AST node {node!r}")
 

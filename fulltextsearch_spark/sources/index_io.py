@@ -84,6 +84,13 @@ BLOCK_MODES = ("blocks", "groupvarint", "packedints", "binary")
 # the driver (the metadata pre-read bails out first).
 LOCAL_FAST_MAX_OCC = 1 << 16
 
+# Driver-side block-METADATA budget (local_block_meta): ~1 row per
+# BLOCK_MAX_OCC (4096) occurrences, so 1M metadata rows covers terms
+# with ~4·10^9 occurrences — far past any interactive query — while a
+# true stop word on a web-scale corpus (10^8+ blocks) aborts the read
+# and keeps its control plane distributed.
+LOCAL_META_MAX_BLOCKS = 1 << 20
+
 
 def _local_fast_enabled() -> bool:
     return not os.environ.get("FTS_NO_LOCAL_FAST_PATH")
@@ -878,6 +885,7 @@ class Index:
         exact_terms: list[str] | None = None,
         min_doc: int | None = None,
         doc_ranges: list[tuple[int, int]] | None = None,
+        block_first_docs: list[int] | None = None,
     ) -> DataFrame:
         """Posting rows, optionally filtered.
 
@@ -894,15 +902,25 @@ class Index:
         rarest leg's block ranges here — the leapfrog-from-the-shortest-
         list analog, PhraseQuery.cs:21-73). Range-filtered rows may
         still contain out-of-window docs (block granularity); callers
-        join on doc_id, so extras are harmless.
+        join on doc_id, so extras are harmless. ``block_first_docs``
+        (blocks mode only): keep ONLY blocks whose first_doc is in the
+        list — the doc-granularity conjunction prune
+        (block_keys_for_docs) pushes the exact surviving-block set as
+        an IN predicate on the metadata column, prunable by parquet
+        row-group stats before any payload decode.
         """
         in_blocks = self.mode in BLOCK_MODES
+        if block_first_docs is not None and not in_blocks:
+            raise ValueError("block_first_docs requires a blocks-mode index")
         table = "blocks" if in_blocks else "postings"
         df = self._union(table)
         if exact_terms is not None:
             if in_blocks and _local_fast_enabled():
                 pdf = self._local_postings_pdf(
-                    exact_terms, min_doc=min_doc, doc_ranges=doc_ranges
+                    exact_terms,
+                    min_doc=min_doc,
+                    doc_ranges=doc_ranges,
+                    block_first_docs=block_first_docs,
                 )
                 if pdf is not None:
                     from fulltextsearch_spark.plans.planner import (
@@ -937,6 +955,11 @@ class Index:
             ]
             df = df.where(
                 reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
+            )
+        if block_first_docs is not None:
+            keys = [int(x) for x in block_first_docs]
+            df = df.where(
+                F.col("first_doc").isin(keys) if keys else F.lit(False)
             )
         if in_blocks:
             if min_doc is not None:
@@ -975,7 +998,7 @@ class Index:
         if dataset is None:
             # no listable block files on the driver: report "no pruning
             # available" (None), NOT "term absent" ([]) — emptiness must
-            # derive solely from the dictionary df (rare_word_ranges),
+            # derive solely from the dictionary df (conj_postings_kwargs),
             # else a driver/executor filesystem visibility mismatch
             # would silently turn AND/SEQ results wrong-empty (ADVICE r4)
             result = None
@@ -1014,6 +1037,122 @@ class Index:
                 F.col("term").isin(exact_terms)
             )
         return df
+
+    def local_block_meta(
+        self, terms: list[str], with_impacts: bool = False
+    ):
+        """Driver-side block METADATA for exact terms (payloads never
+        read): a pyarrow Table of (term, first_doc, last_doc, n_occ,
+        n_docs, max_tf[, imp_tf, imp_dl]), or None when the index has
+        no block layout, the fast path is disabled, files are not
+        driver-listable, or the terms' block count exceeds
+        LOCAL_META_MAX_BLOCKS (the budget guard: a stop-word at 10^11
+        occurrences owns ~10^8 blocks — that control plane must stay
+        distributed). Budgeted scanner with early abort, memoized per
+        (terms, with_impacts) on the handle (segments are immutable).
+
+        This is what lets conjunction pruning and the WAND routing
+        gates run with ZERO metadata Spark jobs at interactive corpus
+        sizes: block metadata is ~1 row per BLOCK_MAX_OCC occurrences,
+        so even a 250k-doc hot term is a few thousand rows."""
+        if self.mode not in BLOCK_MODES or not _local_fast_enabled():
+            return None
+        cache = getattr(self, "_blockmeta_cache", None)
+        if cache is None:
+            cache = {}
+            setattr(self, "_blockmeta_cache", cache)
+        key = (tuple(sorted(set(terms))), with_impacts)
+        if key in cache:
+            tbl = cache[key]
+            return None if tbl is False else tbl
+        try:
+            import pyarrow as pa
+            import pyarrow.dataset as pads
+        except Exception:  # pragma: no cover - pyarrow is a hard dep
+            return None
+        dataset = self._local_dataset(terms)
+        if dataset is None:
+            return None  # not listable here ≠ term absent (ADVICE r4)
+        cols = ["term", "first_doc", "last_doc", "n_occ", "n_docs", "max_tf"]
+        if with_impacts:
+            cols += ["imp_tf", "imp_dl"]
+        scanner = dataset.scanner(
+            columns=cols, filter=pads.field("term").isin(list(set(terms)))
+        )
+        batches, total = [], 0
+        for rb in scanner.to_batches():
+            if rb.num_rows == 0:
+                continue
+            total += rb.num_rows
+            if total > LOCAL_META_MAX_BLOCKS:
+                cache[key] = False
+                return None
+            batches.append(rb)
+        tbl = pa.Table.from_batches(batches, schema=scanner.projected_schema)
+        cache[key] = tbl
+        return tbl
+
+    def term_doc_ids(self, term: str):
+        """Sorted int64 numpy array of one term's doc ids — driver-
+        resident via the budgeted fast-path read (≤ LOCAL_FAST_MAX_OCC
+        occurrences), or None when the term is too hot / path disabled.
+        Memoized per handle. The doc-granularity rare-leg prune reads
+        this: a rare term's ids ARE what the reference's leapfrog seeks
+        the long posting list to (PhraseQuery.cs:21-73)."""
+        cache = getattr(self, "_docids_cache", None)
+        if cache is None:
+            cache = {}
+            setattr(self, "_docids_cache", cache)
+        if term in cache:
+            return cache[term]
+        import numpy as np
+
+        pdf = (
+            self._local_postings_pdf([term])
+            if self.mode in BLOCK_MODES and _local_fast_enabled()
+            else None
+        )
+        result = (
+            None
+            if pdf is None
+            else np.unique(pdf["doc_id"].to_numpy(dtype="int64"))
+        )
+        cache[term] = result
+        return result
+
+    def block_keys_for_docs(
+        self, term: str, doc_ids, max_keys: int = 4096
+    ) -> list[int] | None:
+        """first_doc keys of ``term``'s blocks whose [first_doc,
+        last_doc] span contains at least one of ``doc_ids`` — the
+        doc-granularity block prune for conjunctions whose rare leg is
+        scattered (its merged doc windows cover the corpus, so the
+        window predicate keeps everything — VERDICT r4 #2). Driver-side
+        block metadata + searchsorted, zero Spark jobs. (term,
+        first_doc) is a unique block key: a term's blocks never overlap
+        in doc range, across segments. Returns None when metadata is
+        unavailable or the surviving key set exceeds ``max_keys`` (an
+        isin list that long stops being a useful pushed predicate)."""
+        tbl = self.local_block_meta([term])
+        if tbl is None:
+            return None
+        import numpy as np
+
+        firsts = tbl.column("first_doc").to_numpy()
+        lasts = tbl.column("last_doc").to_numpy()
+        if len(firsts) == 0:
+            return []
+        order = np.argsort(firsts)
+        firsts, lasts = firsts[order], lasts[order]
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        pos = np.searchsorted(firsts, ids, side="right") - 1
+        contained = np.zeros(len(ids), dtype=bool)
+        valid = pos >= 0
+        contained[valid] = ids[valid] <= lasts[pos[valid]]
+        keys = np.unique(firsts[pos[contained]])
+        if len(keys) > max_keys:
+            return None
+        return [int(x) for x in keys]
 
     def _local_block_files(self, terms: list[str]) -> list[str]:
         """Parquet part files of every bucket directory (all segments)
@@ -1058,6 +1197,7 @@ class Index:
         terms: list[str],
         min_doc: int | None = None,
         doc_ranges: list[tuple[int, int]] | None = None,
+        block_first_docs: list[int] | None = None,
     ):
         """Driver-side exact-term posting read, or None when the term is
         too hot for the fast path (LOCAL_FAST_MAX_OCC).
@@ -1112,6 +1252,11 @@ class Index:
             batches.append(rb)
         cache[key] = True
         decode_block = B._block_codec(self.mode)[1]
+        bfd_set = (
+            {int(x) for x in block_first_docs}
+            if block_first_docs is not None
+            else None
+        )
         out_term, out_doc, out_field, out_pos, out_tf = [], [], [], [], []
         for term, payload in (
             (t, p)
@@ -1119,6 +1264,8 @@ class Index:
             for t, p in zip(rb.column(0).to_pylist(), rb.column(2).to_pylist())
         ):
             docs, fields, pos = decode_block(bytes(payload))
+            if bfd_set is not None and len(docs) and int(docs[0]) not in bfd_set:
+                continue  # same first_doc IN filter as the distributed path
             if doc_ranges is not None and len(docs):
                 # same block-granularity window filter as the
                 # distributed path (keep the whole block iff its
