@@ -226,9 +226,10 @@ def conj_postings_kwargs(
       2. ``block_first_docs`` = the exact set of this leg's blocks
          containing a rare doc (scattered rare term whose ids fit the
          driver fast path — the leapfrog-at-doc-granularity analog,
-         PhraseQuery.cs:21-73), else
-      3. the windows again (hot rare leg: ids not driver-resident), or
-         no filter when no metadata path exists.
+         PhraseQuery.cs:21-73) when that set actually prunes
+         (block_keys_for_docs payoff gate), else
+      3. no filter: degenerate windows keep everything, and a
+         predicate that skips nothing only costs codegen.
     All driver-side block metadata, zero Spark jobs."""
     df_map = term_dfs(index, terms)
     if any(df_map[t] is None for t in terms):
@@ -251,6 +252,13 @@ def conj_postings_kwargs(
             if t != rare:
                 base[t]["doc_ranges"] = ranges
         return base
+    from fulltextsearch_spark.sources.index_io import LOCAL_FAST_MAX_OCC
+
+    # df lower-bounds the occurrence count, so a rare leg past the
+    # fast-path budget can never yield driver-resident ids — skip the
+    # doomed budgeted scan instead of paying it to learn that
+    if df_map[rare] > LOCAL_FAST_MAX_OCC:
+        return base
     doc_ids = getattr(index, "term_doc_ids", lambda t: None)(rare)
     for t in uniq:
         if t == rare:
@@ -262,8 +270,8 @@ def conj_postings_kwargs(
         )
         if keys is not None:
             base[t]["block_first_docs"] = keys
-        elif ranges:
-            base[t]["doc_ranges"] = ranges
+        # else: unfiltered — the degenerate windows keep every block
+        # anyway, and a keeps-everything predicate only costs codegen
     return base
 
 

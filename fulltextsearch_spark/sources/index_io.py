@@ -1121,7 +1121,8 @@ class Index:
         return result
 
     def block_keys_for_docs(
-        self, term: str, doc_ids, max_keys: int = 4096
+        self, term: str, doc_ids, max_keys: int = 4096,
+        payoff_frac: float = 0.5,
     ) -> list[int] | None:
         """first_doc keys of ``term``'s blocks whose [first_doc,
         last_doc] span contains at least one of ``doc_ids`` — the
@@ -1131,8 +1132,12 @@ class Index:
         block metadata + searchsorted, zero Spark jobs. (term,
         first_doc) is a unique block key: a term's blocks never overlap
         in doc range, across segments. Returns None when metadata is
-        unavailable or the surviving key set exceeds ``max_keys`` (an
-        isin list that long stops being a useful pushed predicate)."""
+        unavailable, the surviving key set exceeds ``max_keys`` (an
+        isin list that long stops being a useful pushed predicate), or
+        it keeps more than ``payoff_frac`` of the term's blocks — a
+        measured-cost gate: a 1200-literal INSET that skips 6% of the
+        decode costs more in codegen than it saves (a rare term whose
+        docs recur periodically touches nearly every hot block)."""
         tbl = self.local_block_meta([term])
         if tbl is None:
             return None
@@ -1150,7 +1155,7 @@ class Index:
         valid = pos >= 0
         contained[valid] = ids[valid] <= lasts[pos[valid]]
         keys = np.unique(firsts[pos[contained]])
-        if len(keys) > max_keys:
+        if len(keys) > max_keys or len(keys) > payoff_frac * len(firsts):
             return None
         return [int(x) for x in keys]
 

@@ -168,10 +168,11 @@ def test_scattered_rare_doc_granularity_prune(spark, tmp_path, monkeypatch):
     from fulltextsearch_spark.plans.planner import conj_postings_kwargs
     from fulltextsearch_spark.sources.index_io import build_index
 
-    n = 9000
+    n = 30000
+    rare_docs = (10, 29990)
     pages = spark.range(1, n + 1).select(
         F.col("id").alias("doc_id"),
-        F.when(F.col("id").isin(10, 8990), F.lit("hot rare"))
+        F.when(F.col("id").isin(*rare_docs), F.lit("hot rare"))
         .otherwise(F.lit("hot"))
         .alias("text"),
     )
@@ -180,22 +181,23 @@ def test_scattered_rare_doc_granularity_prune(spark, tmp_path, monkeypatch):
     idx = Index.open(spark, root)
     # the rare leg's one block spans nearly the whole corpus: the
     # window path is degenerate by construction
-    assert idx.block_doc_ranges("rare") == [(10, 8990)]
+    assert idx.block_doc_ranges("rare") == [(10, 29990)]
     meta = idx.local_block_meta(["hot"])
+    assert meta.num_rows >= 4  # enough hot blocks for the payoff gate
     kw = conj_postings_kwargs(idx, ["rare", "hot"])
     keys = kw["hot"].get("block_first_docs")
-    assert keys is not None and 0 < len(keys) < meta.num_rows
+    assert keys is not None and len(keys) == 2  # one block per rare doc
     assert kw["rare"] == {}  # the rare leg itself is unfiltered
     # only hot blocks actually containing a rare doc survive
     key = lambda df: sorted(
         (r["doc_id"], r["field_id"], list(r["positions"])) for r in df.collect()
     )
     and_on = key(idx.search("AND(WORD(rare),WORD(hot))"))
-    assert {d for d, _, _ in and_on} == {10, 8990}
+    assert {d for d, _, _ in and_on} == set(rare_docs)
     seq_on = key(idx.search("SEQ(WORD(hot),WORD(rare))"))
     assert [(d, f, p) for d, f, p in seq_on] == [
         (10, 1, [1, 2]),
-        (8990, 1, [1, 2]),
+        (29990, 1, [1, 2]),
     ]
     fast_rows = key(idx.postings(exact_terms=["hot"], block_first_docs=keys))
     monkeypatch.setenv("FTS_NO_LOCAL_FAST_PATH", "1")
