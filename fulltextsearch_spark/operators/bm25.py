@@ -286,6 +286,186 @@ def rank_query_exhaustive(index, query: str, k: int = 10) -> DataFrame:
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _wand_exact_scores(index, dictionary, n_docs, avgdl, bdf) -> DataFrame:
+    """Decode block rows → exact per-doc BM25 scores (shared by the
+    seed and final passes of both WAND control planes)."""
+    from fulltextsearch_spark.operators.build import decode_blocks
+
+    postings = decode_blocks(
+        bdf.select("term", "payload"), codec=getattr(index, "mode", "blocks")
+    )
+    doc_tf = postings.groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))
+    return (
+        doc_tf.join(F.broadcast(dictionary), "term")
+        .join(index.doc_stats(), "doc_id")
+        .select(
+            "doc_id",
+            (_idf_col(n_docs) * _tfn_col(F.col("tf"), avgdl)).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+
+
+def _rank_wand_driver_cp(
+    index,
+    terms: list[str],
+    k: int,
+    stats: dict | None,
+    gates: bool,
+    meta,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """Block-max WAND with the CONTROL PLANE on the driver (VERDICT r4
+    #4/#5): ``meta`` is the candidate blocks' metadata (term, first/
+    last_doc, n_docs, max_tf, impact frontiers — never payloads) as a
+    driver-resident pyarrow table (Index.local_block_meta, budgeted).
+    Everything the distributed plane computed as separate metadata
+    Spark jobs — per-term ub aggregates, Gate P's θ_cap/floor count,
+    the seed-cell ranking, Gate B's survivor count — is numpy over a
+    few thousand rows here, so a WAND-routed query runs exactly TWO
+    Spark jobs (seed decode+score, survivor decode+score) and an
+    exhaustive-routed one runs ONE. Identical routing decisions and
+    identical ranks (same formulas, same gates — test_wand runs this
+    plane; FTS_NO_LOCAL_FAST_PATH or an over-budget term falls back to
+    the distributed plane in rank_terms_wand). Seed/survivor block
+    sets are pushed as broadcast (term, first_doc) key joins — never
+    giant IN literals, no extra jobs."""
+    import numpy as np
+    import pandas as pd
+
+    k1, b = BM25_K1, BM25_B
+    nblocks = meta.num_rows
+    if nblocks == 0:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    term_col = np.array(meta.column("term").to_pylist(), dtype=object)
+    first = meta.column("first_doc").to_numpy()
+    last = meta.column("last_doc").to_numpy()
+    max_tf = meta.column("max_tf").to_numpy().astype(np.float64)
+    n_docs_b = meta.column("n_docs").to_numpy().astype(np.int64)
+    # per-block exact impact bound (empty frontier -> dl→0 fallback)
+    imp_tf = meta.column("imp_tf").combine_chunks()
+    imp_dl = meta.column("imp_dl").combine_chunks()
+    off = imp_tf.offsets.to_numpy().astype(np.int64)
+    tfv = imp_tf.values.to_numpy().astype(np.float64)
+    dlv = imp_dl.values.to_numpy().astype(np.float64)
+    tfn_flat = tfv * (k1 + 1.0) / (tfv + k1 * (1.0 - b + b * dlv / avgdl))
+    lens = off[1:] - off[:-1]
+    seg_max = np.full(nblocks, -np.inf)
+    ne = lens > 0
+    if ne.any():
+        # empty segments are zero-width in the flat values, so reducing
+        # between consecutive NON-EMPTY starts covers each exactly
+        seg_max[ne] = np.maximum.reduceat(tfn_flat, off[:-1][ne])
+    fallback = max_tf * (k1 + 1.0) / (max_tf + k1 * (1.0 - b))
+    tfn_ub = np.where(np.isfinite(seg_max), seg_max, fallback)
+    # df from block metadata: blocks never split a doc and doc ranges
+    # are disjoint, so Σ n_docs per term IS the document frequency
+    uterms, tinv = np.unique(term_col, return_inverse=True)
+    df_t = np.zeros(len(uterms), dtype=np.float64)
+    np.add.at(df_t, tinv, n_docs_b)
+    idf_t = np.log(1.0 + (float(n_docs) - df_t + 0.5) / (df_t + 0.5))
+    ub = idf_t[tinv] * tfn_ub
+
+    dictionary = index.dictionary().where(F.col("term").isin(terms))
+    blocks = index.blocks(exact_terms=terms)
+
+    def exact_scores(bdf) -> DataFrame:
+        return _wand_exact_scores(index, dictionary, n_docs, avgdl, bdf)
+
+    def finish(bdf, route: str, n_seeded: int, n_decoded: int) -> DataFrame:
+        if stats is not None:
+            stats["n_blocks"] = nblocks
+            stats["n_blocks_seeded"] = min(n_seeded, nblocks)
+            stats["n_blocks_decoded"] = n_decoded
+            stats["route"] = route
+        return (
+            exact_scores(bdf)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def key_join(block_idx) -> DataFrame:
+        keys = pd.DataFrame(
+            {
+                "term": term_col[block_idx],
+                "first_doc": pd.Series(first[block_idx], dtype="int64"),
+            }
+        )
+        return blocks.join(
+            F.broadcast(
+                index.spark.createDataFrame(
+                    keys, "term string, first_doc long"
+                )
+            ),
+            ["term", "first_doc"],
+        )
+
+    n_seed = max(k, WAND_SEED_BLOCKS)
+    if gates and nblocks <= 2 * n_seed:
+        return finish(blocks, "exhaustive_small", 0, nblocks)
+    others_ub = None
+    if len(uterms) == 1:
+        seed_blocks = np.argsort(-ub, kind="stable")[:n_seed]
+    else:
+        # doc-range-grid residuals, dense numpy twin of the Spark
+        # plane (see rank_terms_wand docstring for the math)
+        cell_w = max(1, -(-_id_span(index, n_docs) // GRID_CELLS))
+        c0 = first // cell_w
+        c1 = last // cell_w
+        cnt = (c1 - c0 + 1).astype(np.int64)
+        inc_block = np.repeat(np.arange(nblocks), cnt)
+        starts = np.cumsum(cnt) - cnt
+        inc_cell = (
+            np.repeat(c0, cnt) + np.arange(cnt.sum()) - np.repeat(starts, cnt)
+        ).astype(np.int64)
+        ncells = int(c1.max()) + 1
+        gub = np.zeros((len(uterms), ncells))
+        np.maximum.at(gub, (tinv[inc_block], inc_cell), ub[inc_block])
+        tot = gub.sum(axis=0)
+        others_cell = tot[None, :] - gub
+        others_ub = np.full(nblocks, -np.inf)
+        np.maximum.at(
+            others_ub, inc_block, others_cell[tinv[inc_block], inc_cell]
+        )
+        if gates:  # Gate P — zero jobs, zero decode
+            theta_est = tot.max() * WAND_THETA_EST_FRAC
+            n_floor = int((ub + others_ub >= theta_est).sum())
+            if n_floor > WAND_MAX_SURVIVOR_FRAC * nblocks:
+                return finish(blocks, "exhaustive_unprunable", 0, nblocks)
+        nb = np.zeros(ncells, dtype=np.int64)
+        np.add.at(nb, inc_cell, 1)
+        order = np.argsort(-tot, kind="stable")[:64]
+        picked, budget = [], 0
+        for c in order:
+            picked.append(int(c))
+            budget += int(nb[c])
+            if budget >= n_seed:
+                break
+        pick_mask = np.isin(inc_cell, np.array(picked, dtype=np.int64))
+        seed_blocks = np.unique(inc_block[pick_mask])
+    seeded_n = len(seed_blocks)
+    seed_scores = (
+        exact_scores(key_join(seed_blocks))
+        .orderBy(F.desc("score"))
+        .limit(k)
+        .collect()
+    )
+    if len(seed_scores) < k:
+        return finish(blocks, "exhaustive_underfull", seeded_n, nblocks)
+    theta = seed_scores[-1]["score"]
+    surv_mask = (
+        ub >= theta if others_ub is None else ub + others_ub >= theta
+    )
+    n_surv = int(surv_mask.sum())
+    if gates and n_surv > WAND_MAX_SURVIVOR_FRAC * nblocks:
+        return finish(blocks, "exhaustive_post_theta", seeded_n, nblocks)
+    return finish(
+        key_join(np.nonzero(surv_mask)[0]), "wand", seeded_n, n_surv
+    )
+
+
 def rank_terms_wand(
     index,
     terms: list[str],
@@ -371,6 +551,16 @@ def rank_terms_wand(
         )
     n_docs, avgdl = index.collection_stats()
     avgdl = avgdl or 1.0  # empty index: avoid a 0-division in the bound
+    # driver-resident control plane when the candidate block METADATA
+    # fits the driver budget (the common interactive case); the
+    # distributed plane below is the same algorithm for over-budget
+    # term sets and handles without local file access
+    meta_fn = getattr(index, "local_block_meta", None)
+    meta = meta_fn(terms, with_impacts=True) if meta_fn is not None else None
+    if meta is not None:
+        return _rank_wand_driver_cp(
+            index, terms, k, stats, gates, meta, n_docs, avgdl
+        )
     dictionary = index.dictionary().where(F.col("term").isin(terms))
     blocks = index.blocks(exact_terms=terms).join(F.broadcast(dictionary), "term")
     # exact impact bound when the frontier exists; dl→0 majorization
@@ -408,20 +598,8 @@ def rank_terms_wand(
         block_cols = ["term", "payload"]
 
         def exact_scores(bdf) -> DataFrame:
-            from fulltextsearch_spark.operators.build import decode_blocks
-
-            postings = decode_blocks(
-                bdf.select(*block_cols), codec=getattr(index, "mode", "blocks")
-            )
-            doc_tf = postings.groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))
-            return (
-                doc_tf.join(F.broadcast(dictionary), "term")
-                .join(index.doc_stats(), "doc_id")
-                .select(
-                    "doc_id", (_idf_col(n_docs) * _tfn_col(F.col("tf"), avgdl)).alias("s")
-                )
-                .groupBy("doc_id")
-                .agg(F.sum("s").alias("score"))
+            return _wand_exact_scores(
+                index, dictionary, n_docs, avgdl, bdf.select(*block_cols)
             )
 
         def finish(bdf, route: str, n_seeded: int, n_decoded: int) -> DataFrame:

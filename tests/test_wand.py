@@ -120,6 +120,46 @@ def test_wand_multi_term_grid_residuals_prune(spark, tmp_path):
     assert stats["n_blocks_decoded"] < stats["n_blocks"], stats
 
 
+def test_wand_distributed_plane_matches_driver_plane(
+    spark, synth_blocks_idx, monkeypatch
+):
+    """rank_terms_wand has two control planes — driver-resident numpy
+    over local block metadata (the interactive default) and the
+    distributed Spark plane (over-budget terms / no local files). Both
+    must make the same routing decisions and return identical ranks."""
+    idx = synth_blocks_idx
+    cases = [(["t0"], 5), (["t3", "t11"], 10)]
+    driver = []
+    for terms, k in cases:
+        st: dict = {}
+        driver.append(
+            (
+                [
+                    (r["doc_id"], round(r["score"], 9))
+                    for r in rank_terms_wand(
+                        idx, terms, k, stats=st, gates=False
+                    ).collect()
+                ],
+                st["route"],
+                st["n_blocks"],
+            )
+        )
+    monkeypatch.setenv("FTS_NO_LOCAL_FAST_PATH", "1")
+    idx_off = Index.open(spark, idx.root)
+    assert idx_off.local_block_meta(["t0"]) is None  # plane disabled
+    for (terms, k), (rows, route, n_blocks) in zip(cases, driver):
+        st: dict = {}
+        dist = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in rank_terms_wand(
+                idx_off, terms, k, stats=st, gates=False
+            ).collect()
+        ]
+        assert dist == rows
+        assert st["route"] == route
+        assert st["n_blocks"] == n_blocks
+
+
 def test_wand_gate_small_candidate_set(spark, synth_blocks_idx):
     """Gate A: a candidate set at/below 2x the seed budget routes to the
     one-job exhaustive decode (round-3: the 3-block skew query paid 6.7s
