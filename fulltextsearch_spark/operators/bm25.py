@@ -51,21 +51,27 @@ def _tfn_col(tf_col, avgdl: float):
 
 
 def _leaf_scores(
-    index, node, n_docs: int, avgdl: float, postings_kwargs=None
+    index, node, n_docs: int, avgdl: float, postings_kwargs=None,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Terminal node → (doc_id, score). ``postings_kwargs`` (WORD
     leaves under AND) prunes the leg's blocks to the rarest sibling's
     doc neighborhood before decode (conj_postings_kwargs: doc windows,
-    or exact block keys for scattered rare legs) — idf/dl stay global
-    (dictionary/doc_stats joins), and AND keeps only docs present in
-    every child, all of which lie inside the rarest leg's blocks, so
-    scores are exact."""
+    or exact block keys for scattered rare legs); ``doc_filter``
+    (broadcast rare-doc relation, conj_doc_filter) semi-joins the rows
+    before aggregation — idf/dl stay global (dictionary/doc_stats
+    joins), and AND keeps only docs present in every child, all of
+    which lie in the rarest leg's doc set, so scores are exact."""
     if postings_kwargs and isinstance(node, WordAst):
         postings = index.postings(
             exact_terms=[node.value], **postings_kwargs
         )
     else:
         postings = expanded_postings(index, node)
+    if doc_filter is not None:
+        postings = postings.join(
+            F.broadcast(doc_filter), "doc_id", "left_semi"
+        )
     # doc-level tf per term (sum over fields), then join stats
     doc_tf = postings.groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))
     dictionary = index.dictionary()
@@ -123,21 +129,32 @@ def score_node(index, node: AstQuery, n_docs: int, avgdl: float) -> DataFrame:
             # the other legs' decode (see _leaf_scores; planner twin
             # in plans/planner.py plan_node)
             from fulltextsearch_spark.plans.planner import (
+                conj_doc_filter,
                 conj_postings_kwargs,
             )
 
+            all_words = all(isinstance(a, WordAst) for a in node.args)
             kw = (
                 conj_postings_kwargs(index, [a.value for a in node.args])
-                if all(isinstance(a, WordAst) for a in node.args)
+                if all_words
                 else {}
             )
             if kw is None:  # a term is absent -> no doc qualifies
                 return index.spark.createDataFrame(
                     [], "doc_id long, score double"
                 )
+            word_terms = [a.value for a in node.args if isinstance(a, WordAst)]
+            doc_filter = (
+                conj_doc_filter(index, word_terms) if word_terms else None
+            )
             children = [
                 _leaf_scores(
-                    index, a, n_docs, avgdl, postings_kwargs=kw.get(a.value)
+                    index,
+                    a,
+                    n_docs,
+                    avgdl,
+                    postings_kwargs=kw.get(a.value),
+                    doc_filter=doc_filter,
                 )
                 if isinstance(a, WordAst)
                 else score_node(index, a, n_docs, avgdl)

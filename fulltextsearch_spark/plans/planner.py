@@ -275,6 +275,32 @@ def conj_postings_kwargs(
     return base
 
 
+def conj_doc_filter(index, terms: list[str]) -> DataFrame | None:
+    """Broadcastable one-column (doc_id) relation of the rarest leg's
+    doc ids, when driver-resident (≤ the fast-path occurrence budget);
+    None otherwise. Any document qualifying an AND that includes the
+    rare leg lies in this set, so semi-joining the other legs' rows
+    against it BEFORE aggregation/explode shrinks every downstream
+    shuffle to the rare leg's cardinality — the score/match analog of
+    the reference's leapfrog driving from the shortest posting list."""
+    df_map = term_dfs(index, terms)
+    if any(df_map[t] is None for t in terms):
+        return None
+    rare = min(set(terms), key=lambda t: (df_map[t], t))
+    from fulltextsearch_spark.sources.index_io import LOCAL_FAST_MAX_OCC
+
+    if df_map[rare] > LOCAL_FAST_MAX_OCC:
+        return None
+    ids = getattr(index, "term_doc_ids", lambda t: None)(rare)
+    if ids is None:
+        return None
+    import pandas as pd
+
+    return index.spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids}), "doc_id long"
+    )
+
+
 def _phrase(index, terms: list[str]) -> DataFrame:
     """SEQ: k-leg adjacency via per-doc position arrays (D10).
 
@@ -388,6 +414,21 @@ def plan_node(index, node: AstQuery) -> DataFrame:
                     continue
                 rows.append(p.select("doc_id", "field_id", "positions"))
                 is_posting.append(True)
+            # rare leg's doc ids driver-resident: semi-join every leg's
+            # rows against them up front (broadcast) — the doc-set
+            # distinct and the final explode then run over ~|rare docs|
+            # instead of the hot legs' full posting sets
+            word_terms = [
+                a.value for a in node.args if isinstance(a, WordAst)
+            ]
+            doc_filter = (
+                conj_doc_filter(index, word_terms) if word_terms else None
+            )
+            if doc_filter is not None:
+                rows = [
+                    r.join(F.broadcast(doc_filter), "doc_id", "left_semi")
+                    for r in rows
+                ]
             doc_sets = [r.select("doc_id").distinct() for r in rows]
             qualifying = reduce(lambda a, b: a.join(b, "doc_id"), doc_sets)
             parts = [
