@@ -123,6 +123,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
+def _encoded_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Blocks-mode index whose dictionary is stored under the var-len
+    char code (SURVEY §2.C13, dict_encoding='huffman') — no plain term
+    column on disk; terms decode while reading (functions/charcodes.py,
+    sources/index_io.decode_dictionary)."""
+    key = sf_dir + "#huffman"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="fts_entry_hidx_")
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            root,
+            mode="blocks",
+            input_desc=f"documents table at {sf_dir} (huffman dict)",
+            preassigned_ids=True,
+            dict_encoding="huffman",
+        )
+        _IDX_CACHE[key] = Index.open(spark, root)
+    return _IDX_CACHE[key]
+
+
 def q_term_df_cf(spark, sf_dir):
     """C1/C2: dictionary build — per-term df/cf (top 100 by cf)."""
     idx = _index(spark, sf_dir)
@@ -131,6 +154,25 @@ def q_term_df_cf(spark, sf_dir):
         .orderBy(F.desc("cf"), F.asc("term"))
         .limit(100)
         .select("term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf"))
+    )
+
+
+def q_term_df_cf_encoded(spark, sf_dir):
+    """C13: same df/cf query served THROUGH the char-coded dictionary —
+    the stored table has no plain term column, so agreement with the
+    DuckDB oracle proves the encode + decode-on-read round trip against
+    an independent implementation, not just pytest properties."""
+    idx = _encoded_index(spark, sf_dir)
+    assert idx.manifest["type"]["dict_encoding"]["name"] == "huffman"
+    return (
+        idx.dictionary()
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(100)
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
     )
 
 
@@ -409,6 +451,7 @@ def q_events_windowed(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_df_cf": q_term_df_cf,
+        "term_df_cf_encoded": q_term_df_cf_encoded,
         "doc_length_stats": q_doc_length_stats,
         "word_postings": q_word_postings,
         "and_docs": q_and_docs,
@@ -629,6 +672,12 @@ def oracle_sql() -> dict[str, str]:
     tok_h = "CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)"
     return {
         "term_df_cf": f"""
+            WITH {_TOKS_CTE}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+            FROM toks GROUP BY term
+            ORDER BY cf DESC, term LIMIT 100
+        """,
+        "term_df_cf_encoded": f"""
             WITH {_TOKS_CTE}
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
             FROM toks GROUP BY term
