@@ -221,6 +221,36 @@ def q_phrase_matches(spark, sf_dir):
     )
 
 
+def q_postings_seek(spark, sf_dir):
+    """D13 lower-bound seek: WORD(data) postings from doc_id ≥ 250 —
+    blocks mode prunes whole blocks via the last_doc skip column before
+    decode, then seeks within surviving blocks (ISkipList.LowerBound
+    analog, index_io.Index.postings min_doc)."""
+    idx = _index(spark, sf_dir)
+    p = idx.postings(exact_terms=["data"], min_doc=250)
+    return p.select("doc_id", F.col("tf").cast("long").alias("tf"))
+
+
+def q_or_dup_semantics(spark, sf_dir):
+    """D8/D9 duplicate-preserving OR: a duplicated sub-query must keep
+    its duplicated matches (OrMultiQueryTest.cs:29-36 semantics) — per
+    doc, OR(WORD(data),WORD(data)) yields exactly 2× tf(data) rows."""
+    idx = _index(spark, sf_dir)
+    m = idx.search("OR(WORD(data),WORD(data))")
+    return m.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+
+
+def q_bm25_seq(spark, sf_dir):
+    """M4 phrase ranking: BM25 top-20 for SEQ(WORD(table),WORD(scan)) —
+    tf = per-doc phrase occurrences, df = docs with ≥1 phrase match
+    (operators/bm25._phrase_scores: one lazy plan, df as a broadcast
+    1-row aggregate)."""
+    idx = _index(spark, sf_dir)
+    return idx.rank("SEQ(WORD(table),WORD(scan))", 20).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_wildcard_expand(spark, sf_dir):
     """D4 WILD: dictionary expansion of c* with df."""
     idx = _index(spark, sf_dir)
@@ -457,6 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "and_docs": q_and_docs,
         "or_counts": q_or_counts,
         "phrase_matches": q_phrase_matches,
+        "postings_seek": q_postings_seek,
+        "or_dup_semantics": q_or_dup_semantics,
+        "bm25_seq": q_bm25_seq,
         "wildcard_expand": q_wildcard_expand,
         "edit_expand": q_edit_expand,
         "bm25_topk": q_bm25_topk,
@@ -737,6 +770,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, a.p::BIGINT AS start_pos
             FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
             WHERE a.term = 'table' AND b.term = 'scan'
+        """,
+        "postings_seek": f"""
+            WITH {_TOKS_CTE}
+            SELECT doc_id, count(*)::BIGINT AS tf
+            FROM toks WHERE term = 'data' AND doc_id >= 250
+            GROUP BY doc_id
+        """,
+        "or_dup_semantics": f"""
+            WITH {_TOKS_CTE}
+            SELECT doc_id, (2 * count(*))::BIGINT AS n_matches
+            FROM toks WHERE term = 'data' GROUP BY doc_id
+        """,
+        "bm25_seq": f"""
+            WITH {_TOKLIST_CTE},
+            pos AS (
+              SELECT doc_id, t[s.i] AS term, s.i AS p
+              FROM toklist, (SELECT unnest(generate_series(1, 10000)) AS i) s
+              WHERE s.i <= len(t)
+            ),
+            pm AS (
+              SELECT a.doc_id, count(*) AS tf
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+              WHERE a.term = 'table' AND b.term = 'scan'
+              GROUP BY a.doc_id
+            ),
+            dl AS (SELECT doc_id, len(t) AS dl FROM toklist),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            dfp AS (SELECT count(*) AS df FROM pm),
+            scored AS (
+              SELECT pm.doc_id,
+                     ln(1 + (stats.n - dfp.df + 0.5) / (dfp.df + 0.5))
+                     * pm.tf * ({BM25_K1} + 1)
+                     / (pm.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+                     AS score
+              FROM pm JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfp
+            )
+            SELECT doc_id, round(score, 6) AS score
+            FROM scored ORDER BY score DESC, doc_id LIMIT 20
         """,
         "wildcard_expand": f"""
             WITH {_TOKS_CTE}
