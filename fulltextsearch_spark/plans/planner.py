@@ -425,8 +425,16 @@ def plan_node(index, node: AstQuery) -> DataFrame:
                 conj_doc_filter(index, word_terms) if word_terms else None
             )
             if doc_filter is not None:
+                # repartition AFTER the rare-doc semi-join: each leg's
+                # two consumers (doc-set distinct + the match part)
+                # hang off the same exchange, so ReuseExchange runs the
+                # scan+decode ONCE per leg, and the shuffle it pays for
+                # is bounded by the rare leg's cardinality. Everything
+                # downstream (distinct, qualifying join, semi-join) is
+                # then co-partitioned on doc_id — no further exchanges.
                 rows = [
                     r.join(F.broadcast(doc_filter), "doc_id", "left_semi")
+                    .repartition("doc_id")
                     for r in rows
                 ]
             doc_sets = [r.select("doc_id").distinct() for r in rows]

@@ -1244,7 +1244,11 @@ class Index:
         batch before falling back to the distributed path. The
         small-enough verdict memoizes per term set on the handle
         (segments are immutable): a known-hot set skips the IO
-        entirely on repeat queries."""
+        entirely on repeat queries. The decoded frame itself is also
+        memoized per full filter key (bounded LRU): a repeated lookup
+        — or 16 concurrent rank queries sharing a handle — costs zero
+        pyarrow/decode work on the GIL-bound driver thread after the
+        first."""
         try:
             import pyarrow.dataset as pads
         except Exception:  # pragma: no cover - pyarrow is a hard dep
@@ -1253,6 +1257,20 @@ class Index:
         if cache is None:
             cache = {}
             setattr(self, "_local_occ_cache", cache)
+        pdf_cache = getattr(self, "_local_pdf_cache", None)
+        if pdf_cache is None:
+            pdf_cache = {}
+            setattr(self, "_local_pdf_cache", pdf_cache)
+        pdf_key = (
+            tuple(sorted(set(terms))),
+            min_doc,
+            tuple(doc_ranges) if doc_ranges is not None else None,
+            tuple(sorted(block_first_docs))
+            if block_first_docs is not None
+            else None,
+        )
+        if pdf_key in pdf_cache:
+            return pdf_cache[pdf_key]
         import numpy as np
         import pandas as pd
 
@@ -1265,12 +1283,18 @@ class Index:
                 "tf": pd.Series([], dtype="int32"),
             }
         )
+        def memo(pdf):
+            if len(pdf_cache) >= 64:  # bounded: drop the oldest entry
+                pdf_cache.pop(next(iter(pdf_cache)))
+            pdf_cache[pdf_key] = pdf
+            return pdf
+
         key = tuple(sorted(set(terms)))
         if cache.get(key) is False:  # known too hot for the fast path
             return None
         dataset = self._local_dataset(terms)
         if dataset is None:
-            return empty
+            return memo(empty)
         flt = pads.field("term").isin(terms)
         scanner = dataset.scanner(
             columns=["term", "n_occ", "payload"], filter=flt
@@ -1328,14 +1352,16 @@ class Index:
                 out_field.append(int(fields[s]))
                 out_pos.append(pos[s:e].astype(np.int32).tolist())
                 out_tf.append(int(e - s))
-        return pd.DataFrame(
-            {
-                "term": out_term,
-                "doc_id": pd.Series(out_doc, dtype="int64"),
-                "field_id": pd.Series(out_field, dtype="int32"),
-                "positions": out_pos,
-                "tf": pd.Series(out_tf, dtype="int32"),
-            }
+        return memo(
+            pd.DataFrame(
+                {
+                    "term": out_term,
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "field_id": pd.Series(out_field, dtype="int32"),
+                    "positions": out_pos,
+                    "tf": pd.Series(out_tf, dtype="int32"),
+                }
+            )
         )
 
     def _buckets_of(self, terms: list[str]) -> list[int]:
