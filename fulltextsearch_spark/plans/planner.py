@@ -301,6 +301,29 @@ def conj_doc_filter(index, terms: list[str]) -> DataFrame | None:
     )
 
 
+# Cost gate for the hot-hot AND exchange-reuse plan: below this many
+# total posting rows across legs (driver block metadata, Σ n_docs —
+# one decoded row per (doc, field) posting), one doc_id exchange per
+# leg (decode once, shuffle once) beats decoding every leg twice. Past
+# it — true stop words on a web-scale corpus — shuffling the decoded
+# posting rows would dominate, and the shuffle-free broadcast plan
+# with a recomputed decode is the plan you want on a cluster.
+AND_REUSE_MAX_ROWS = 50_000_000
+
+
+def _and_reuse_pays(index, word_terms: list[str], n_args: int) -> bool:
+    if len(word_terms) != n_args or not word_terms:
+        return False  # non-WORD children: no metadata to cost with
+    meta_fn = getattr(index, "local_block_meta", None)
+    meta = meta_fn(word_terms) if meta_fn is not None else None
+    if meta is None:
+        return False
+    import numpy as np
+
+    total = int(np.sum(meta.column("n_docs").to_numpy()))
+    return total <= AND_REUSE_MAX_ROWS
+
+
 def _phrase(index, terms: list[str]) -> DataFrame:
     """SEQ: k-leg adjacency via per-doc position arrays (D10).
 
@@ -437,6 +460,15 @@ def plan_node(index, node: AstQuery) -> DataFrame:
                     .repartition("doc_id")
                     for r in rows
                 ]
+            elif _and_reuse_pays(index, word_terms, len(node.args)):
+                # no rare-doc filter (hot-hot conjunction): both
+                # consumers still re-decode each leg. When the legs'
+                # total decoded size (driver block metadata, Σ n_occ)
+                # is modest, one exchange per leg (AQE ReusedQueryStage
+                # → single decode) beats the double decode; a true
+                # stop-word leg at web scale keeps the shuffle-free
+                # broadcast/recompute plan instead.
+                rows = [r.repartition("doc_id") for r in rows]
             doc_sets = [r.select("doc_id").distinct() for r in rows]
             qualifying = reduce(lambda a, b: a.join(b, "doc_id"), doc_sets)
             parts = [
