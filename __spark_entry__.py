@@ -421,6 +421,25 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via banded sign-LSH candidates +
+    exact cosine filter (similarity.embedding_near_dup_pairs). The
+    synthetic embeddings are near-random (max pairwise cosine ≈ 0.51),
+    so the fixture threshold/bands are tuned low; production defaults
+    target cosine ≥ 0.9. Deterministic hyperplanes → the oracle
+    reproduces the exact candidate set."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    out = SIM.embedding_near_dup_pairs(
+        emb, threshold=0.42, n_bands=8, band_planes=4, dim=64
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic: marker-word argmax per doc."""
     docs = _docs(spark, sf_dir)
@@ -505,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "emb_near_dup": q_emb_near_dup,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -679,6 +699,42 @@ def _ann_lsh_oracle() -> str:
         )
         SELECT q_id, vec_id, round(cos, 6) AS cos, rank::BIGINT AS rank
         FROM ranked WHERE rank <= 5
+    """
+
+
+def _emb_near_dup_oracle() -> str:
+    """Banded sign-LSH near-dup oracle: 8 bands × 4 hyperplane sign
+    bits, inlined as literal DOUBLE arrays; a pair is a candidate iff
+    some band's 4-bit signature matches; exact cosine ≥ 0.42 filters
+    (mirrors q_emb_near_dup's fixture parameters)."""
+    from fulltextsearch_spark.operators.similarity import _hyperplanes
+
+    n_bands, r = 8, 4
+    planes = _hyperplanes(64, n_bands * r)
+
+    def sig(vec: str, band: int) -> str:
+        terms = [
+            f"(CASE WHEN list_inner_product({vec}, "
+            f"[{','.join(repr(x) for x in p)}]) > 0 THEN {1 << b} ELSE 0 END)"
+            for b, p in enumerate(planes[band * r : (band + 1) * r])
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    sig_cols = ",\n                 ".join(
+        f"{sig('embedding::DOUBLE[]', band)} AS s{band}"
+        for band in range(n_bands)
+    )
+    any_band = " OR ".join(f"a.s{band} = b.s{band}" for band in range(n_bands))
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev,
+                 {sig_cols}
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.ev, b.ev), 6) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({any_band})
+        WHERE list_cosine_similarity(a.ev, b.ev) >= 0.42
     """
 
 
@@ -924,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _SIMHASH_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),
+        "emb_near_dup": _emb_near_dup_oracle(),
         "lang_id": _LANG_CASE,
         "quality": _QUALITY_ORACLE,
         "token_counts": f"""

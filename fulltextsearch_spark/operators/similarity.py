@@ -148,3 +148,78 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select(q_id_col, id_col, "cos", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 6,
+    band_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine NEAR-DUP pairs: every (id_a < id_b) pair with
+    cosine >= threshold — the dedup-side sibling of the ANN search ops.
+
+    Candidates come from BANDED sign-LSH (the MinHash-banding
+    construction applied to hyperplane sign bits): n_bands signatures
+    of band_planes sign bits each; a pair is a candidate iff SOME
+    band's whole signature matches, then the exact cosine filters.
+    Never all-pairs: the join key is (band, signature), so bucket
+    sizes — not N² — bound the work. With p = 1 − θ/π the probability
+    a near-dup pair collides in at least one band is 1 − (1 − p^r)^b:
+    at cosine 0.9 (p ≈ 0.857) the defaults give ~0.87 recall while a
+    random pair (p = 0.5) collides with probability ~b/2^r ≈ 0.023.
+    Raise band_planes as the corpus grows (collision mass scales
+    N²·b/2^r); the candidate→exact-cosine shape is unchanged.
+
+    Returns (id_a, id_b, cos). Deterministic: hyperplanes are seeded
+    constants (_hyperplanes), so an external oracle can reproduce the
+    exact candidate set.
+    """
+    planes = _hyperplanes(dim, n_bands * band_planes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                sign_lsh_bucket(
+                    F.col(vec_col),
+                    planes[band * band_planes : (band + 1) * band_planes],
+                ).alias("sig"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    keyed = vectors.select(
+        F.col(id_col).alias("_id"), F.explode(bands).alias("bk")
+    ).select(
+        "_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["band", "sig"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()  # a pair may collide in several bands — ids only,
+        # so the dedup shuffle never carries vectors
+    )
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )

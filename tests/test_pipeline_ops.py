@@ -104,6 +104,38 @@ def test_lsh_ann_recall_on_clusters(spark):
     assert top1 == {0: 100, 1: 101, 2: 102}
 
 
+def test_embedding_near_dup_pairs_recall(spark):
+    """Banded sign-LSH near-dup: noisy twins (cos ≈ 0.98) are found
+    with high recall; unrelated random vectors produce no pairs above
+    the threshold; cos values match brute force to 1e-9."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    truth = set()
+    for i in range(25):
+        v = rng.standard_normal(16)
+        rows.append((i, v.tolist()))
+        noisy = v + 0.1 * rng.standard_normal(16)
+        rows.append((100 + i, noisy.tolist()))  # near twin
+        truth.add((i, 100 + i))
+    for i in range(50):  # unrelated background
+        rows.append((1000 + i, rng.standard_normal(16).tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.embedding_near_dup_pairs(
+        vecs, threshold=0.9, n_bands=6, band_planes=4, dim=16
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert len(got & truth) / len(truth) >= 0.9, (len(got & truth), len(truth))
+    # no false positives: every reported pair really clears the
+    # threshold under brute-force cosine
+    by_id = {i: np.array(v) for i, v in rows}
+    for r in out:
+        a, b = by_id[r["id_a"]], by_id[r["id_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.9 and abs(cos - r["cos"]) < 1e-9
+
+
 def test_multiprobe_lsh_recall_at_k(spark):
     """Multi-probe (Hamming-1 neighbor buckets) must reach recall@5
     ≥ 0.9 against brute force on a seeded clustered fixture, and be a
