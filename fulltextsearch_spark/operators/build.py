@@ -726,40 +726,62 @@ def decode_blocks(
     """block rows → postings (term, doc_id, field_id, positions, tf).
 
     Callers prune first (term equality / bucket / `last_doc >= min_doc`);
-    this decodes only surviving blocks (mapInPandas, Arrow-batched).
-    """
+    this decodes only surviving blocks. Implemented with mapInArrow:
+    the positions column is assembled as ONE pyarrow ListArray per
+    batch from flat (offsets, values) numpy arrays — zero per-posting
+    Python lists (the mapInPandas version allocated one list per
+    posting row, which dominated every decode-bound query the same way
+    it dominated the round-2 tokenize pass)."""
 
-    def decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(batches):
+        import pyarrow as pa
+
         _, decode_block = _block_codec(codec)
 
-        for pdf in pdfs:
-            out_term, out_doc, out_field, out_positions, out_tf = [], [], [], [], []
-            for term, payload in zip(pdf["term"], pdf["payload"]):
+        for rb in batches:
+            terms_in = rb.column(0).to_pylist()
+            payloads = rb.column(1).to_pylist()
+            term_parts, doc_parts, field_parts = [], [], []
+            tf_parts, val_parts = [], []
+            for term, payload in zip(terms_in, payloads):
                 docs, fields, pos = decode_block(bytes(payload))
                 if min_doc is not None:
                     keep = docs >= min_doc
                     docs, fields, pos = docs[keep], fields[keep], pos[keep]
-                if len(docs) == 0:
+                n = len(docs)
+                if n == 0:
                     continue
-                bnd = np.empty(len(docs), dtype=bool)
+                bnd = np.empty(n, dtype=bool)
                 bnd[0] = True
                 bnd[1:] = (docs[1:] != docs[:-1]) | (fields[1:] != fields[:-1])
                 starts = np.nonzero(bnd)[0]
-                ends = np.append(starts[1:], len(docs))
-                for s, e in zip(starts, ends):
-                    out_term.append(term)
-                    out_doc.append(int(docs[s]))
-                    out_field.append(int(fields[s]))
-                    out_positions.append(pos[s:e].astype(np.int32).tolist())
-                    out_tf.append(int(e - s))
-            yield pd.DataFrame(
-                {
-                    "term": out_term,
-                    "doc_id": out_doc,
-                    "field_id": out_field,
-                    "positions": out_positions,
-                    "tf": out_tf,
-                }
+                tf = np.diff(np.append(starts, n))
+                term_parts.append(np.full(len(starts), term, dtype=object))
+                doc_parts.append(docs[starts].astype(np.int64))
+                field_parts.append(fields[starts].astype(np.int32))
+                tf_parts.append(tf.astype(np.int64))
+                val_parts.append(pos)
+            if not term_parts:
+                continue
+            tf_all = np.concatenate(tf_parts)
+            offsets = np.zeros(len(tf_all) + 1, dtype=np.int64)
+            np.cumsum(tf_all, out=offsets[1:])
+            positions = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)),
+                pa.array(
+                    np.concatenate(val_parts).astype(np.int32),
+                    type=pa.int32(),
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(term_parts), type=pa.string()),
+                    pa.array(np.concatenate(doc_parts), type=pa.int64()),
+                    pa.array(np.concatenate(field_parts), type=pa.int32()),
+                    positions,
+                    pa.array(tf_all.astype(np.int32), type=pa.int32()),
+                ],
+                names=["term", "doc_id", "field_id", "positions", "tf"],
             )
 
-    return blocks.mapInPandas(decode, POSTING_SCHEMA)
+    return blocks.mapInArrow(decode, POSTING_SCHEMA)
