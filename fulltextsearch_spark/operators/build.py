@@ -422,70 +422,150 @@ def build_blocks(
     )
     out_schema = BLOCK_SCHEMA_BUCKETED if bucketed else BLOCK_SCHEMA
 
-    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assemble(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         from fulltextsearch_spark.operators.codec import encode_positions_payload
 
         encode_block, _ = _block_codec(codec)
 
         empty_imp = np.empty(0, dtype=np.int32)
+        out_names = [f.name for f in out_schema.fields]
 
-        def encode_dp(pdf: pd.DataFrame) -> pd.DataFrame:
-            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in pdf.itertuples(index=False):
-                out["term"].append(DP_TERM)
-                if bucketed:
-                    out["bucket"].append(int(row.bucket))
-                out["doc_grp"].append(int(row.doc_grp))
-                # sentinels reuse block_no to carry the FIELD id (a
-                # sentinel is one whole-vector block per (doc, field),
-                # so it has no block numbering to preserve); legacy
-                # segments wrote 0 here — readers map 0 -> field 1
-                out["block_no"].append(int(getattr(row, "field_id", 0)))
-                out["first_doc"].append(int(row.doc_id))
-                out["last_doc"].append(int(row.doc_id))
-                out["n_occ"].append(len(row.positions))
-                out["n_docs"].append(1)
-                out["max_tf"].append(0)
-                out["imp_tf"].append(empty_imp)
-                out["imp_dl"].append(empty_imp)
-                out["payload"].append(
-                    b"" if strip_dp_payload
-                    else encode_positions_payload(row.positions)
+        def to_batch(out: dict):
+            """Per-block output dict → Arrow batch (block cardinality is
+            ~1/BLOCK_MAX_OCC of the input, so this side is cheap)."""
+            arrays = []
+            for f in out_schema.fields:
+                vals = out[f.name]
+                if f.name in ("imp_tf", "imp_dl"):
+                    arrays.append(
+                        pa.array(
+                            [np.asarray(v, dtype=np.int32) for v in vals],
+                            type=pa.list_(pa.int32()),
+                        )
+                    )
+                elif f.name == "payload":
+                    arrays.append(pa.array(vals, type=pa.binary()))
+                elif f.name == "term":
+                    arrays.append(pa.array(vals, type=pa.string()))
+                elif f.name in ("doc_grp", "first_doc", "last_doc"):
+                    arrays.append(pa.array(vals, type=pa.int64()))
+                else:  # bucket, block_no, n_occ, n_docs, max_tf
+                    arrays.append(pa.array(vals, type=pa.int32()))
+            return pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+        def np_cols(rb) -> dict:
+            """Arrow batch → flat numpy columns: positions arrive as ONE
+            (offsets, values) pair per batch — zero per-row objects (the
+            mapInPandas input conversion materialized one numpy array
+            per posting row, the input-side twin of the decode_blocks
+            allocation fix)."""
+            names = rb.schema.names
+            cols = {n: rb.column(i) for i, n in enumerate(names)}
+            pos = cols["positions"]
+            offs = pos.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            d = {
+                "term": np.array(cols["term"].to_pylist(), dtype=object),
+                "doc_id": cols["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "field_id": cols["field_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "doc_grp": cols["doc_grp"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "row_len": np.diff(offs),
+                "flat": pos.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+            if bucketed:
+                d["bucket"] = (
+                    cols["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
                 )
-            return pd.DataFrame(out)
-
-        def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-            n_rows = len(pdf)
-            # whole-batch flat arrays — no per-group pandas slicing
-            terms = pdf["term"].to_numpy()
-            buckets = pdf["bucket"].to_numpy(np.int64) if bucketed else None
-            grps = pdf["doc_grp"].to_numpy(np.int64)
-            docs = pdf["doc_id"].to_numpy(np.int64)
-            fields = pdf["field_id"].to_numpy(np.int64)
-            if "tfdl" in pdf.columns:  # packed build rows
-                tfdl = pdf["tfdl"].to_numpy(np.int64)
-                tfs = tfdl & TFDL_MASK
-                dls = tfdl >> 32
+            if "tfdl" in names:  # packed build rows
+                tfdl = cols["tfdl"].to_numpy(zero_copy_only=False).astype(np.int64)
+                d["tf"] = tfdl & TFDL_MASK
                 # per-row dl is the (doc, field) length: summing a
                 # doc's field-rows yields the present-fields total —
                 # a correct lower bound of the true dl
-                sum_dl = True
+                d["dl"] = tfdl >> 32
+                d["sum_dl"] = True
             else:  # legacy/compaction rows: plain tf (+ optional dl)
-                tfs = pdf["tf"].to_numpy(np.int64)
-                dls = (
-                    pdf["dl"].to_numpy(np.int64)
-                    if "dl" in pdf.columns
-                    else np.zeros(n_rows, dtype=np.int64)
-                )
+                d["tf"] = cols["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
                 # per-row dl is the doc TOTAL (compact_index joins
                 # doc_stats): take it ONCE per doc — summing would
                 # store n_fields x dl, under-estimating the block-max
                 # score bound and breaking WAND safety on compacted
                 # multi-field indexes
-                sum_dl = False
-            pos_all = np.concatenate(
-                [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-            )
+                d["dl"] = (
+                    cols["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    if "dl" in names
+                    else np.zeros(len(d["tf"]), dtype=np.int64)
+                )
+                d["sum_dl"] = False
+            return d
+
+        _ROW_KEYS = ("term", "doc_id", "field_id", "doc_grp", "row_len", "tf", "dl")
+
+        def cat(a: dict, b: dict) -> dict:
+            out = {"sum_dl": b["sum_dl"]}
+            for k in _ROW_KEYS + (("bucket",) if bucketed else ()):
+                out[k] = np.concatenate([a[k], b[k]])
+            out["flat"] = np.concatenate([a["flat"], b["flat"]])
+            return out
+
+        def slice_rows(d: dict, s: int, e: int) -> dict:
+            cum = np.zeros(len(d["row_len"]) + 1, dtype=np.int64)
+            np.cumsum(d["row_len"], out=cum[1:])
+            out = {"sum_dl": d["sum_dl"]}
+            for k in _ROW_KEYS + (("bucket",) if bucketed else ()):
+                out[k] = d[k][s:e]
+            out["flat"] = d["flat"][cum[s] : cum[e]]
+            return out
+
+        def encode_dp(d: dict):
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            cum = np.zeros(len(d["row_len"]) + 1, dtype=np.int64)
+            np.cumsum(d["row_len"], out=cum[1:])
+            for i in range(len(d["term"])):
+                out["term"].append(DP_TERM)
+                if bucketed:
+                    out["bucket"].append(int(d["bucket"][i]))
+                out["doc_grp"].append(int(d["doc_grp"][i]))
+                # sentinels reuse block_no to carry the FIELD id (a
+                # sentinel is one whole-vector block per (doc, field),
+                # so it has no block numbering to preserve); legacy
+                # segments wrote 0 here — readers map 0 -> field 1
+                out["block_no"].append(int(d["field_id"][i]))
+                out["first_doc"].append(int(d["doc_id"][i]))
+                out["last_doc"].append(int(d["doc_id"][i]))
+                out["n_occ"].append(int(d["row_len"][i]))
+                out["n_docs"].append(1)
+                out["max_tf"].append(0)
+                out["imp_tf"].append(empty_imp)
+                out["imp_dl"].append(empty_imp)
+                out["payload"].append(
+                    b""
+                    if strip_dp_payload
+                    else encode_positions_payload(d["flat"][cum[i] : cum[i + 1]])
+                )
+            return to_batch(out)
+
+        def encode_groups(d: dict):
+            n_rows = len(d["term"])
+            terms = d["term"]
+            buckets = d["bucket"] if bucketed else None
+            grps = d["doc_grp"]
+            docs = d["doc_id"]
+            fields = d["field_id"]
+            tfs = d["tf"]
+            dls = d["dl"]
+            sum_dl = d["sum_dl"]
+            pos_all = d["flat"]
             # occurrence-level views
             occ_docs = np.repeat(docs, tfs)
             occ_fields = np.repeat(fields, tfs)
@@ -557,36 +637,40 @@ def build_blocks(
                     )
                     bno += 1
                     di = dj
-            return pd.DataFrame(out)
+            return to_batch(out)
 
-        # a (term, doc_grp) group may span Arrow batches (mapInPandas
-        # splits a partition into ~10k-row batches): hold the trailing
-        # group back until the next batch so block_no numbering and
-        # block sizing always see whole groups
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            # sentinel doc-position rows: one block row per input row,
-            # no grouping/carry semantics
-            dp_mask = pdf["term"].to_numpy() == DP_TERM
-            if dp_mask.any():
-                yield encode_dp(pdf[dp_mask])
-                pdf = pdf[~dp_mask].reset_index(drop=True)
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            n_rows = len(pdf)
-            if n_rows == 0:
+        # a (term, doc_grp) group may span Arrow batches (a partition
+        # arrives as ~10k-row batches): hold the trailing group back
+        # until the next batch so block_no numbering and block sizing
+        # always see whole groups
+        carry: dict | None = None
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            terms = pdf["term"].to_numpy()
-            grps = pdf["doc_grp"].to_numpy()
+            # sentinel doc-position rows: one block row per input row,
+            # no grouping/carry semantics (arrow-native row split)
+            term_arr = rb.column(rb.schema.names.index("term"))
+            dp_mask = pc.equal(term_arr, DP_TERM)
+            if pc.any(dp_mask).as_py():
+                yield encode_dp(np_cols(rb.filter(dp_mask)))
+                rb = rb.filter(pc.invert(dp_mask))
+            if rb.num_rows == 0:
+                continue
+            d = np_cols(rb)
+            if carry is not None:
+                d = cat(carry, d)
+                carry = None
+            n_rows = len(d["term"])
             bnd = np.empty(n_rows, dtype=bool)
             bnd[0] = True
-            bnd[1:] = (terms[1:] != terms[:-1]) | (grps[1:] != grps[:-1])
+            bnd[1:] = (d["term"][1:] != d["term"][:-1]) | (
+                d["doc_grp"][1:] != d["doc_grp"][:-1]
+            )
             split = int(np.nonzero(bnd)[0][-1])
-            carry = pdf.iloc[split:].reset_index(drop=True)
+            carry = slice_rows(d, split, n_rows)
             if split > 0:
-                yield encode_groups(pdf.iloc[:split].reset_index(drop=True))
-        if carry is not None and len(carry):
+                yield encode_groups(slice_rows(d, 0, split))
+        if carry is not None and len(carry["term"]):
             yield encode_groups(carry)
 
     # explicit partition count: a bare repartition(cols) is subject to
@@ -599,12 +683,12 @@ def build_blocks(
             .sortWithinPartitions(
                 "bucket", "term", "doc_grp", "doc_id", "field_id"
             )
-            .mapInPandas(assemble, out_schema)
+            .mapInArrow(assemble, out_schema)
         )
     return (
         salted.repartition(n_parts, "term", "doc_grp")
         .sortWithinPartitions("term", "doc_grp", "doc_id", "field_id")
-        .mapInPandas(assemble, out_schema)
+        .mapInArrow(assemble, out_schema)
     )
 
 
