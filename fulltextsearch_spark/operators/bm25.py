@@ -133,17 +133,16 @@ def score_node(index, node: AstQuery, n_docs: int, avgdl: float) -> DataFrame:
                 conj_postings_kwargs,
             )
 
-            all_words = all(isinstance(a, WordAst) for a in node.args)
-            kw = (
-                conj_postings_kwargs(index, [a.value for a in node.args])
-                if all_words
-                else {}
-            )
-            if kw is None:  # a term is absent -> no doc qualifies
+            # pruning from the DIRECT WORD children only (mixed children
+            # included — same safety argument as the planner twin: any
+            # qualifying doc contains every direct WORD child); a direct
+            # WORD term absent from the dictionary empties the AND
+            word_terms = [a.value for a in node.args if isinstance(a, WordAst)]
+            kw = conj_postings_kwargs(index, word_terms) if word_terms else {}
+            if kw is None:  # a direct term is absent -> no doc qualifies
                 return index.spark.createDataFrame(
                     [], "doc_id long, score double"
                 )
-            word_terms = [a.value for a in node.args if isinstance(a, WordAst)]
             doc_filter = (
                 conj_doc_filter(index, word_terms) if word_terms else None
             )
@@ -361,22 +360,26 @@ def _rank_wand_driver_cp(
     last = meta.column("last_doc").to_numpy()
     max_tf = meta.column("max_tf").to_numpy().astype(np.float64)
     n_docs_b = meta.column("n_docs").to_numpy().astype(np.int64)
-    # per-block exact impact bound (empty frontier -> dl→0 fallback)
-    imp_tf = meta.column("imp_tf").combine_chunks()
-    imp_dl = meta.column("imp_dl").combine_chunks()
-    off = imp_tf.offsets.to_numpy().astype(np.int64)
-    tfv = imp_tf.values.to_numpy().astype(np.float64)
-    dlv = imp_dl.values.to_numpy().astype(np.float64)
-    tfn_flat = tfv * (k1 + 1.0) / (tfv + k1 * (1.0 - b + b * dlv / avgdl))
-    lens = off[1:] - off[:-1]
-    seg_max = np.full(nblocks, -np.inf)
-    ne = lens > 0
-    if ne.any():
-        # empty segments are zero-width in the flat values, so reducing
-        # between consecutive NON-EMPTY starts covers each exactly
-        seg_max[ne] = np.maximum.reduceat(tfn_flat, off[:-1][ne])
+    # per-block exact impact bound (empty/absent frontier -> dl→0 fallback;
+    # legacy segments have no imp columns at all)
     fallback = max_tf * (k1 + 1.0) / (max_tf + k1 * (1.0 - b))
-    tfn_ub = np.where(np.isfinite(seg_max), seg_max, fallback)
+    if "imp_tf" in meta.column_names:
+        imp_tf = meta.column("imp_tf").combine_chunks()
+        imp_dl = meta.column("imp_dl").combine_chunks()
+        off = imp_tf.offsets.to_numpy().astype(np.int64)
+        tfv = imp_tf.values.to_numpy().astype(np.float64)
+        dlv = imp_dl.values.to_numpy().astype(np.float64)
+        tfn_flat = tfv * (k1 + 1.0) / (tfv + k1 * (1.0 - b + b * dlv / avgdl))
+        lens = off[1:] - off[:-1]
+        seg_max = np.full(nblocks, -np.inf)
+        ne = lens > 0
+        if ne.any():
+            # empty segments are zero-width in the flat values, so reducing
+            # between consecutive NON-EMPTY starts covers each exactly
+            seg_max[ne] = np.maximum.reduceat(tfn_flat, off[:-1][ne])
+        tfn_ub = np.where(np.isfinite(seg_max), seg_max, fallback)
+    else:
+        tfn_ub = fallback
     # df from block metadata: blocks never split a doc and doc ranges
     # are disjoint, so Σ n_docs per term IS the document frequency
     uterms, tinv = np.unique(term_col, return_inverse=True)
@@ -711,7 +714,12 @@ def rank_terms_wand(
                 cells.groupBy("cell")
                 .agg(F.count("*").alias("nb"))
                 .join(tot, "cell")
-                .orderBy(F.desc("tot_gub"))
+                # cell-asc tiebreak: the driver plane breaks tot_gub
+                # ties with a stable argsort by cell index, so the
+                # distributed twin must too — otherwise seed-cell picks
+                # (and seeded counts) diverge between planes on ties
+                # (ADVICE r5; ranks stay exact either way)
+                .orderBy(F.desc("tot_gub"), F.asc("cell"))
                 .limit(64)
                 .collect()
             )
