@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--queries", default=None)
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--skip-noop", action="store_true")
+    ap.add_argument(
+        "--root",
+        default=None,
+        help="reuse/keep a prebuilt index at this path (skips the "
+        "build when a manifest exists; never deletes it)",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,19 +56,22 @@ def main() -> None:
     spark = get_spark("fts-bench-extra", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
-    root = tempfile.mkdtemp(prefix="fts_bx_idx_")
+    keep = args.root is not None
+    root = args.root or tempfile.mkdtemp(prefix="fts_bx_idx_")
     corpus = tempfile.mkdtemp(prefix="fts_bx_pages_")
     timings: dict[str, list[float]] = {}
     try:
-        synth_pages(spark, n_docs).repartition(64).write.mode(
-            "overwrite"
-        ).parquet(corpus)
-        pages = spark.read.parquet(corpus)
-        t0 = time.time()
-        build_index(
-            spark, pages, root, mode="blocks", input_desc=f"synth n={n_docs}"
-        )
-        print(f"[build] {time.time() - t0:.2f}s", file=sys.stderr)
+        if not os.path.exists(os.path.join(root, "manifest.json")):
+            synth_pages(spark, n_docs).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(corpus)
+            pages = spark.read.parquet(corpus)
+            t0 = time.time()
+            build_index(
+                spark, pages, root, mode="blocks",
+                input_desc=f"synth n={n_docs}",
+            )
+            print(f"[build] {time.time() - t0:.2f}s", file=sys.stderr)
         idx = Index.open(spark, root)
         idx.search("WORD(qwarmupq)").limit(1).collect()  # warm-up
 
@@ -95,14 +104,20 @@ def main() -> None:
             if name not in wanted:
                 continue
             if args.explain_dir:
+                import contextlib
+                import io
+
                 os.makedirs(args.explain_dir, exist_ok=True)
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    fn().explain("formatted")
                 with open(
                     os.path.join(
                         args.explain_dir, f"{name}_{args.suffix}.txt"
                     ),
                     "w",
                 ) as f:
-                    f.write(fn()._jdf.queryExecution().explainString("formatted"))
+                    f.write(buf.getvalue())
             if args.skip_noop:
                 continue
             for _ in range(args.repeats):
@@ -152,7 +167,8 @@ def main() -> None:
         rank_terms_wand(idx, ["t0"], 10, stats=st).collect()
         print(json.dumps({"timings": timings, "wand_hot": st}))
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(corpus, ignore_errors=True)
         spark.stop()
 

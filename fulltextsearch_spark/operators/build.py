@@ -349,11 +349,121 @@ def _impact_frontier(
 DOC_GROUP_SPAN = 1 << 22
 BLOCK_MAX_OCC = 4096
 
+
+def _encode_term_group(
+    out: dict,
+    term,
+    bucket_val,
+    doc_grp: int,
+    docs: np.ndarray,
+    fields: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    flat: np.ndarray,
+    encode_block,
+    block_max_occ: int,
+    sum_dl: bool,
+    no_impacts: bool,
+    empty_imp: np.ndarray,
+    bucketed: bool,
+) -> None:
+    """Chunk ONE (term, doc_grp) group's doc-ordered posting rows into
+    block rows appended to ``out`` — THE block-boundary/payload kernel,
+    shared by the row-granular and packed-run build paths so block
+    chunking and payload bytes are identical by construction.
+
+    ``docs``/``fields``/``tfs``/``dls`` are row-level (one entry per
+    (doc, field) posting row, doc-ascending, a doc's field rows
+    adjacent); ``flat`` is the concatenated positions. Blocks chunk
+    greedily at DOC boundaries (a doc's rows never split), impact
+    frontiers from per-doc summed tf + dl."""
+    n_rows = len(docs)
+    occ_docs = np.repeat(docs, tfs)
+    occ_fields = np.repeat(fields, tfs)
+    row_off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(tfs, out=row_off[1:])
+    doc_start = np.empty(n_rows, dtype=bool)
+    doc_start[0] = True
+    doc_start[1:] = docs[1:] != docs[:-1]
+    dstarts = np.nonzero(doc_start)[0]
+    d_off = np.append(row_off[dstarts], row_off[n_rows])
+    n_grp_docs = len(dstarts)
+    bno = 0
+    di = 0
+    while di < n_grp_docs:
+        dj = int(
+            np.searchsorted(d_off, d_off[di] + block_max_occ, side="right")
+            - 1
+        )
+        if dj <= di:  # one oversized document
+            dj = di + 1
+        dj = min(dj, n_grp_docs)
+        s_row = int(dstarts[di])
+        e_row = int(dstarts[dj]) if dj < n_grp_docs else n_rows
+        s, e = int(row_off[s_row]), int(row_off[e_row])
+        # per-doc summed tf + lower-bound dl for the impacts
+        loc_starts = dstarts[di:dj] - s_row
+        tf_doc = np.add.reduceat(tfs[s_row:e_row], loc_starts)
+        if no_impacts:  # perf-diagnostic only
+            imp_tf = imp_dl = empty_imp
+        else:
+            dl_doc = (
+                np.add.reduceat(dls[s_row:e_row], loc_starts)
+                if sum_dl
+                else dls[dstarts[di:dj]]
+            )
+            imp_tf, imp_dl = _impact_frontier(tf_doc, dl_doc)
+        out["term"].append(term)
+        if bucketed:
+            out["bucket"].append(bucket_val)
+        out["doc_grp"].append(doc_grp)
+        out["block_no"].append(bno)
+        out["first_doc"].append(int(occ_docs[s]))
+        out["last_doc"].append(int(occ_docs[e - 1]))
+        out["n_occ"].append(e - s)
+        out["n_docs"].append(dj - di)
+        out["max_tf"].append(int(tf_doc.max()))
+        out["imp_tf"].append(imp_tf)
+        out["imp_dl"].append(imp_dl)
+        out["payload"].append(
+            encode_block(occ_docs[s:e], occ_fields[s:e], flat[s:e])
+        )
+        bno += 1
+        di = dj
+
 # bucketed variant: bucket leads so block rows sort/write directly via
 # partitionBy("bucket") with no second shuffle (build_blocks bucketed=True)
 BLOCK_SCHEMA_BUCKETED = T.StructType(
     [T.StructField("bucket", T.IntegerType(), False), *BLOCK_SCHEMA.fields]
 )
+
+
+def _block_out_batch(out: dict, out_schema):
+    """Per-block output dict → Arrow batch (block cardinality is
+    ~1/BLOCK_MAX_OCC of the input, so this side is cheap)."""
+    import pyarrow as pa
+
+    arrays = []
+    for f in out_schema.fields:
+        vals = out[f.name]
+        if f.name in ("imp_tf", "imp_dl"):
+            arrays.append(
+                pa.array(
+                    [np.asarray(v, dtype=np.int32) for v in vals],
+                    type=pa.list_(pa.int32()),
+                )
+            )
+        elif f.name == "payload":
+            arrays.append(pa.array(vals, type=pa.binary()))
+        elif f.name == "term":
+            arrays.append(pa.array(vals, type=pa.string()))
+        elif f.name in ("doc_grp", "first_doc", "last_doc"):
+            arrays.append(pa.array(vals, type=pa.int64()))
+        else:  # bucket, block_no, n_occ, n_docs, max_tf
+            arrays.append(pa.array(vals, type=pa.int32()))
+    return pa.RecordBatch.from_arrays(
+        arrays, names=[f.name for f in out_schema.fields]
+    )
 
 
 def _block_codec(codec: str):
@@ -431,30 +541,9 @@ def build_blocks(
         encode_block, _ = _block_codec(codec)
 
         empty_imp = np.empty(0, dtype=np.int32)
-        out_names = [f.name for f in out_schema.fields]
 
         def to_batch(out: dict):
-            """Per-block output dict → Arrow batch (block cardinality is
-            ~1/BLOCK_MAX_OCC of the input, so this side is cheap)."""
-            arrays = []
-            for f in out_schema.fields:
-                vals = out[f.name]
-                if f.name in ("imp_tf", "imp_dl"):
-                    arrays.append(
-                        pa.array(
-                            [np.asarray(v, dtype=np.int32) for v in vals],
-                            type=pa.list_(pa.int32()),
-                        )
-                    )
-                elif f.name == "payload":
-                    arrays.append(pa.array(vals, type=pa.binary()))
-                elif f.name == "term":
-                    arrays.append(pa.array(vals, type=pa.string()))
-                elif f.name in ("doc_grp", "first_doc", "last_doc"):
-                    arrays.append(pa.array(vals, type=pa.int64()))
-                else:  # bucket, block_no, n_occ, n_docs, max_tf
-                    arrays.append(pa.array(vals, type=pa.int32()))
-            return pa.RecordBatch.from_arrays(arrays, names=out_names)
+            return _block_out_batch(out, out_schema)
 
         def np_cols(rb) -> dict:
             """Arrow batch → flat numpy columns: positions arrive as ONE
@@ -566,77 +655,37 @@ def build_blocks(
             dls = d["dl"]
             sum_dl = d["sum_dl"]
             pos_all = d["flat"]
-            # occurrence-level views
-            occ_docs = np.repeat(docs, tfs)
-            occ_fields = np.repeat(fields, tfs)
             row_off = np.zeros(n_rows + 1, dtype=np.int64)
             np.cumsum(tfs, out=row_off[1:])
-            # (term, doc_grp) group boundaries at row level
+            # (term, doc_grp) group boundaries at row level; the shared
+            # kernel (_encode_term_group) handles doc boundaries and
+            # block chunking per group
             bnd = np.empty(n_rows, dtype=bool)
             bnd[0] = True
             bnd[1:] = (terms[1:] != terms[:-1]) | (grps[1:] != grps[:-1])
-            # document boundaries: group boundary OR doc change (a doc
-            # may own several rows — one per field containing the term)
-            doc_start = bnd.copy()
-            doc_start[1:] |= docs[1:] != docs[:-1]
             g_starts = np.nonzero(bnd)[0]
             g_ends = np.append(g_starts[1:], n_rows)
 
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            no_imp = _diag_no_impacts()
             for gs, ge in zip(g_starts, g_ends):
-                term, doc_grp = terms[gs], int(grps[gs])
-                if bucketed:
-                    bucket_val = int(buckets[gs])
-                # row indices starting a doc within this group, plus ge:
-                # chunk greedily at DOC boundaries only, so a doc's rows
-                # (all its fields) never split across blocks
-                dstarts = gs + np.nonzero(doc_start[gs:ge])[0]
-                d_off = np.append(row_off[dstarts], row_off[ge])
-                n_grp_docs = len(dstarts)
-                bno = 0
-                di = 0
-                while di < n_grp_docs:
-                    dj = int(
-                        np.searchsorted(
-                            d_off, d_off[di] + block_max_occ, side="right"
-                        )
-                        - 1
-                    )
-                    if dj <= di:  # one oversized document
-                        dj = di + 1
-                    dj = min(dj, n_grp_docs)
-                    s_row = int(dstarts[di])
-                    e_row = int(dstarts[dj]) if dj < n_grp_docs else ge
-                    s, e = int(row_off[s_row]), int(row_off[e_row])
-                    # per-doc summed tf + lower-bound dl for the impacts
-                    loc_starts = dstarts[di:dj] - s_row
-                    tf_doc = np.add.reduceat(tfs[s_row:e_row], loc_starts)
-                    if _diag_no_impacts():  # perf-diagnostic only
-                        imp_tf = imp_dl = empty_imp
-                    else:
-                        dl_doc = (
-                            np.add.reduceat(dls[s_row:e_row], loc_starts)
-                            if sum_dl
-                            else dls[dstarts[di:dj]]
-                        )
-                        imp_tf, imp_dl = _impact_frontier(tf_doc, dl_doc)
-                    out["term"].append(term)
-                    if bucketed:
-                        out["bucket"].append(bucket_val)
-                    out["doc_grp"].append(doc_grp)
-                    out["block_no"].append(bno)
-                    out["first_doc"].append(int(occ_docs[s]))
-                    out["last_doc"].append(int(occ_docs[e - 1]))
-                    out["n_occ"].append(e - s)
-                    out["n_docs"].append(dj - di)
-                    out["max_tf"].append(int(tf_doc.max()))
-                    out["imp_tf"].append(imp_tf)
-                    out["imp_dl"].append(imp_dl)
-                    out["payload"].append(
-                        encode_block(occ_docs[s:e], occ_fields[s:e], pos_all[s:e])
-                    )
-                    bno += 1
-                    di = dj
+                _encode_term_group(
+                    out,
+                    terms[gs],
+                    int(buckets[gs]) if bucketed else None,
+                    int(grps[gs]),
+                    docs[gs:ge],
+                    fields[gs:ge],
+                    tfs[gs:ge],
+                    dls[gs:ge],
+                    pos_all[row_off[gs] : row_off[ge]],
+                    encode_block,
+                    block_max_occ,
+                    sum_dl,
+                    no_imp,
+                    empty_imp,
+                    bucketed,
+                )
             return to_batch(out)
 
         # a (term, doc_grp) group may span Arrow batches (a partition
@@ -690,6 +739,379 @@ def build_blocks(
         .sortWithinPartitions("term", "doc_grp", "doc_id", "field_id")
         .mapInArrow(assemble, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed-run build path (blocks-only layout). The row-granular pipeline
+# above ships one JVM row per (term, doc, field) posting through TWO
+# JVM↔Python Arrow crossings plus the shuffle sort. Measured at 250k
+# docs / 28.6M posting rows on local[32], an IDENTITY mapInArrow over
+# those rows cost as much as the full encode (21s vs 21s; the shuffle+
+# sort alone was 8s) — i.e. the per-row, per-column Arrow conversion is
+# the build's dominant cost, not tokenization or the codec (guide §4:
+# you control how many columns/rows cross, not the crossing itself).
+# The packed path ships ONE row per (map batch, term, doc group) —
+# 28.6M → ~4.2M rows at bench scale — whose payload is an opaque
+# binary blob of the run's posting rows (raw little-endian numpy
+# sections, shuffle-transient, never persisted). The JVM only hashes
+# and sorts the (bucket, term, doc_grp) key columns; all posting data
+# crosses each boundary as one memcpy per run.
+#
+# Correctness: a doc lives wholly inside one Arrow batch, so a (term,
+# doc, field) posting row exists in exactly ONE run; the reduce side
+# concatenates a group's runs and sorts rows by (doc, field) — unique
+# keys, so the result is deterministic regardless of run arrival order
+# — and feeds the SAME block-chunking kernel (_encode_term_group) as
+# the row-granular path, making block boundaries and payload bytes
+# identical by construction (golden-tested).
+
+RUN_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_grp", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ]
+)
+
+# sentinel runs chunk this many docs per run row (~200 KB of position
+# vectors at dl≈200): big enough to amortize the per-row boundary cost,
+# small enough that no shuffle row or write task gets lumpy
+DP_RUN_DOCS = 128
+
+
+def _pack_run_blob(docs, tfdl, fields, rowlen, flat) -> bytes:
+    """[i64 n][i64 docs×n][i64 tfdl×n][i32 field×n][i32 rowlen×n]
+    [i32 flat×Σrowlen] — raw little-endian sections. Shuffle-transient
+    format only; never written to disk."""
+    return b"".join(
+        (
+            np.int64(len(docs)).tobytes(),
+            docs.tobytes(),
+            tfdl.tobytes(),
+            fields.tobytes(),
+            rowlen.tobytes(),
+            flat.tobytes(),
+        )
+    )
+
+
+def _unpack_run_blob(blob: bytes):
+    n = int(np.frombuffer(blob, np.int64, 1)[0])
+    o = 8
+    docs = np.frombuffer(blob, np.int64, n, o)
+    o += 8 * n
+    tfdl = np.frombuffer(blob, np.int64, n, o)
+    o += 8 * n
+    fields = np.frombuffer(blob, np.int32, n, o)
+    o += 4 * n
+    rowlen = np.frombuffer(blob, np.int32, n, o)
+    o += 4 * n
+    flat = np.frombuffer(blob, np.int32, (len(blob) - o) // 4, o)
+    return docs, tfdl, fields, rowlen, flat
+
+
+def tokenize_packed_runs(
+    pages_with_ids: DataFrame,
+    field_id: int = 1,
+    emit_doc_positions: bool = True,
+    doc_group_span: int = DOC_GROUP_SPAN,
+) -> DataFrame:
+    """pages(+doc_id) → packed posting RUNS (term, doc_grp, blob).
+
+    Per Arrow batch: tokenize each doc (the same tokenize_text kernel),
+    dictionary-encode the batch's tokens (Arrow C++ hash — replaces the
+    per-doc Python string argsort of tokenize_postings), one int
+    lexsort by (term code, doc), then slice per-(term, doc group) runs
+    out of the flat arrays. Emitted term strings come from the batch
+    dictionary via Array.take — no per-token Python strings cross the
+    boundary. Sentinel doc-position rows pack DP_RUN_DOCS docs per run
+    with the same blob layout (rowlen = vector length, tf = 0)."""
+    import pyarrow as pa
+
+    from fulltextsearch_spark.functions.tokenizer import tokenize_text
+
+    def run(batches):
+        for rb in batches:
+            b_doc_ids = rb.column(0).to_numpy()
+            texts = rb.column(1).to_pylist()
+            all_terms: list = []
+            occ_doc_parts, occ_dl_parts = [], []
+            sent_docs, sent_vecs, sent_n = [], [], []
+            doc_lens: list[int] = []
+            for doc_id, text in zip(b_doc_ids, texts):
+                if text is None:
+                    continue
+                terms, offs, lens = tokenize_text(text)
+                n = len(terms)
+                if n == 0:
+                    continue
+                all_terms.extend(terms)
+                doc_lens.append(n)
+                occ_doc_parts.append(np.full(n, doc_id, dtype=np.int64))
+                occ_dl_parts.append(np.full(n, n, dtype=np.int64))
+                if emit_doc_positions:
+                    flatv = np.empty(2 * n, dtype=np.int32)
+                    flatv[0::2] = offs + 1
+                    flatv[1::2] = offs + 1 + lens
+                    sent_docs.append(doc_id)
+                    sent_vecs.append(flatv)
+                    sent_n.append(n)
+            if not all_terms:
+                continue
+            occ_doc = np.concatenate(occ_doc_parts)
+            occ_dl = np.concatenate(occ_dl_parts)
+            n_occ = len(occ_doc)
+            dl_arr = np.array(doc_lens, dtype=np.int64)
+            dstarts = np.cumsum(dl_arr) - dl_arr
+            occ_pos = (
+                np.arange(n_occ, dtype=np.int64)
+                - np.repeat(dstarts, dl_arr)
+                + 1
+            ).astype(np.int32)
+            dic = pa.array(all_terms, type=pa.string()).dictionary_encode()
+            codes = dic.indices.to_numpy().astype(np.int64)
+            # primary term code, secondary doc; stable, so positions
+            # stay ascending within each (term, doc) row
+            order = np.lexsort((occ_doc, codes))
+            c = codes[order]
+            d_ = occ_doc[order]
+            p = occ_pos[order]
+            dl_s = occ_dl[order]
+            bnd = np.empty(n_occ, dtype=bool)
+            bnd[0] = True
+            bnd[1:] = (c[1:] != c[:-1]) | (d_[1:] != d_[:-1])
+            row_starts = np.nonzero(bnd)[0]
+            row_len = np.diff(np.append(row_starts, n_occ)).astype(np.int64)
+            row_doc = d_[row_starts]
+            row_code = c[row_starts]
+            row_tfdl = row_len + (dl_s[row_starts] << 32)
+            row_grp = row_doc // doc_group_span
+            n_rows = len(row_starts)
+            rbnd = np.empty(n_rows, dtype=bool)
+            rbnd[0] = True
+            rbnd[1:] = (row_code[1:] != row_code[:-1]) | (
+                row_grp[1:] != row_grp[:-1]
+            )
+            run_starts = np.nonzero(rbnd)[0]
+            run_ends = np.append(run_starts[1:], n_rows)
+            fields_arr = np.full(n_rows, field_id, dtype=np.int32)
+            row_len32 = row_len.astype(np.int32)
+            blobs = []
+            for rs, re_ in zip(run_starts, run_ends):
+                fs = int(row_starts[rs])
+                fe = int(row_starts[re_]) if re_ < n_rows else n_occ
+                blobs.append(
+                    _pack_run_blob(
+                        row_doc[rs:re_],
+                        row_tfdl[rs:re_],
+                        fields_arr[rs:re_],
+                        row_len32[rs:re_],
+                        p[fs:fe],
+                    )
+                )
+            term_col = dic.dictionary.take(
+                pa.array(row_code[run_starts], type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    term_col,
+                    pa.array(row_grp[run_starts], type=pa.int64()),
+                    pa.array(blobs, type=pa.binary()),
+                ],
+                names=["term", "doc_grp", "blob"],
+            )
+            if emit_doc_positions and sent_docs:
+                sdocs = np.array(sent_docs, dtype=np.int64)
+                sn = np.array(sent_n, dtype=np.int64)
+                svec_lens = (2 * sn).astype(np.int32)
+                sflat = np.concatenate(sent_vecs)
+                stfdl = sn << 32  # tf = 0, dl = n
+                sfields = np.full(len(sdocs), field_id, dtype=np.int32)
+                s_off = np.cumsum(svec_lens.astype(np.int64)) - svec_lens
+                dp_grps, dp_blobs = [], []
+                for cs in range(0, len(sdocs), DP_RUN_DOCS):
+                    ce = min(cs + DP_RUN_DOCS, len(sdocs))
+                    fs = int(s_off[cs])
+                    fe = int(s_off[ce - 1] + svec_lens[ce - 1])
+                    dp_blobs.append(
+                        _pack_run_blob(
+                            sdocs[cs:ce],
+                            stfdl[cs:ce],
+                            sfields[cs:ce],
+                            svec_lens[cs:ce],
+                            sflat[fs:fe],
+                        )
+                    )
+                    # doc_grp is only a shuffle salt for runs; the
+                    # assemble emits per-doc sentinel BLOCK rows with
+                    # doc_grp = doc_id exactly as the row path does
+                    dp_grps.append(int(sdocs[cs]))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            [DP_TERM] * len(dp_blobs), type=pa.string()
+                        ),
+                        pa.array(dp_grps, type=pa.int64()),
+                        pa.array(dp_blobs, type=pa.binary()),
+                    ],
+                    names=["term", "doc_grp", "blob"],
+                )
+
+    return pages_with_ids.select("doc_id", "text").mapInArrow(
+        run, RUN_SCHEMA
+    )
+
+
+def assemble_packed_blocks(
+    runs: DataFrame,
+    codec: str = "blocks",
+    n_buckets: int = 8,
+    strip_dp_payload: bool = False,
+    block_max_occ: int = BLOCK_MAX_OCC,
+) -> DataFrame:
+    """Packed runs → bucketed block rows (BLOCK_SCHEMA_BUCKETED), ready
+    for the partitionBy("bucket") writer with no further shuffle.
+
+    The shuffle keys (bucket, term, doc_grp) are computed as JVM
+    expressions — they never ride as data columns through the Python
+    boundary; Python recomputes the bucket once per (term, doc_grp)
+    group with the xxhash64 twin. Groups arrive contiguous (sorted by
+    the same expressions); a group's runs concatenate and row-sort by
+    (doc, field) — unique per row, so any run arrival order yields the
+    same bytes — then feed the shared _encode_term_group kernel."""
+    from fulltextsearch_spark.functions.xxhash import term_bucket_py
+
+    bucket_expr = F.when(
+        F.col("term") == DP_TERM, F.lit(n_buckets)
+    ).otherwise(
+        F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+    )
+    n_parts = runs.sparkSession.sparkContext.defaultParallelism * 4
+    shuffled = runs.repartition(
+        n_parts, bucket_expr, F.col("term"), F.col("doc_grp")
+    ).sortWithinPartitions(bucket_expr, F.col("term"), F.col("doc_grp"))
+
+    def assemble(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from fulltextsearch_spark.operators.codec import (
+            encode_positions_payload,
+        )
+
+        encode_block, _ = _block_codec(codec)
+        empty_imp = np.empty(0, dtype=np.int32)
+        no_imp = _diag_no_impacts()
+
+        def new_out():
+            return {f.name: [] for f in BLOCK_SCHEMA_BUCKETED.fields}
+
+        out = new_out()
+        carry_key: tuple | None = None
+        carry_parts: list = []
+
+        def flush_group():
+            nonlocal carry_key, carry_parts
+            if carry_key is None:
+                return
+            term, grp = carry_key
+            docs = np.concatenate([x[0] for x in carry_parts])
+            tfdl = np.concatenate([x[1] for x in carry_parts])
+            fields = np.concatenate([x[2] for x in carry_parts])
+            rowlen = np.concatenate([x[3] for x in carry_parts])
+            flat = np.concatenate([x[4] for x in carry_parts])
+            carry_key, carry_parts = None, []
+            # deterministic (doc, field) row order whatever the run
+            # arrival order; variable-length flat gather is vectorized
+            order = np.lexsort((fields, docs))
+            src_starts = np.cumsum(rowlen, dtype=np.int64) - rowlen
+            new_lens = rowlen[order].astype(np.int64)
+            new_off = np.cumsum(new_lens) - new_lens
+            idx = np.repeat(src_starts[order], new_lens) + (
+                np.arange(len(flat), dtype=np.int64)
+                - np.repeat(new_off, new_lens)
+            )
+            tfdl_s = tfdl[order]
+            _encode_term_group(
+                out,
+                term,
+                term_bucket_py(term, n_buckets),
+                int(grp),
+                docs[order],
+                fields[order],
+                tfdl_s & TFDL_MASK,
+                tfdl_s >> 32,
+                flat[idx],
+                encode_block,
+                block_max_occ,
+                True,  # sum_dl: per-(doc, field) lengths
+                no_imp,
+                empty_imp,
+                True,  # bucketed
+            )
+
+        def emit_dp_run(blob):
+            docs, tfdl, fields, rowlen, flat = _unpack_run_blob(blob)
+            o = np.cumsum(rowlen.astype(np.int64)) - rowlen
+            for i in range(len(docs)):
+                out["term"].append(DP_TERM)
+                out["bucket"].append(n_buckets)
+                out["doc_grp"].append(int(docs[i]))
+                # sentinels reuse block_no to carry the FIELD id
+                out["block_no"].append(int(fields[i]))
+                out["first_doc"].append(int(docs[i]))
+                out["last_doc"].append(int(docs[i]))
+                out["n_occ"].append(int(rowlen[i]))
+                out["n_docs"].append(1)
+                out["max_tf"].append(0)
+                out["imp_tf"].append(empty_imp)
+                out["imp_dl"].append(empty_imp)
+                out["payload"].append(
+                    b""
+                    if strip_dp_payload
+                    else encode_positions_payload(
+                        flat[int(o[i]) : int(o[i]) + int(rowlen[i])]
+                    )
+                )
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            t_arr = rb.column(0)
+            grps = rb.column(1).to_numpy()
+            blobs = rb.column(2).to_pylist()
+            is_dp = pc.equal(t_arr, DP_TERM).to_numpy(zero_copy_only=False)
+            t_change = np.empty(n, dtype=bool)
+            t_change[0] = True
+            if n > 1:
+                t_change[1:] = pc.not_equal(
+                    t_arr.slice(1), t_arr.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+            term_i: str | None = None
+            for i in range(n):
+                if is_dp[i]:
+                    # sentinel runs are self-contained (one block row
+                    # per doc) and sort after every real bucket; close
+                    # the open group so output bucket order holds
+                    flush_group()
+                    emit_dp_run(blobs[i])
+                    continue
+                if t_change[i]:
+                    term_i = t_arr[i].as_py()
+                key = (term_i, int(grps[i]))
+                if key != carry_key:
+                    flush_group()
+                    carry_key = key
+                carry_parts.append(_unpack_run_blob(blobs[i]))
+            if len(out["term"]) >= 8192:
+                yield _block_out_batch(out, BLOCK_SCHEMA_BUCKETED)
+                out = new_out()
+        flush_group()
+        if out["term"]:
+            yield _block_out_batch(out, BLOCK_SCHEMA_BUCKETED)
+
+    return shuffled.mapInArrow(assemble, BLOCK_SCHEMA_BUCKETED)
 
 
 POSTING_SCHEMA = T.StructType(

@@ -410,27 +410,32 @@ def build_index(
     # sentinel rows: their METADATA (n_occ = vector length) is the
     # doc-length table even when payloads are stripped.
     emit_dp = keep_positions or mode in BLOCK_MODES
-    if n_fields == 1:
-        tokenized = B.tokenize_postings(
-            with_ids.select("doc_id", F.col(text_cols[0]).alias("text")),
-            emit_doc_positions=emit_dp,
-        )
-    else:
-        parts = [
-            B.tokenize_postings(
-                with_ids.select("doc_id", F.col(c).alias("text")),
-                field_id=fid,
+
+    def _tokenized_rows() -> DataFrame:
+        """Row-granular posting rows with the bucket column (arrays
+        mode, and the FTS_BUILD_ROW_GRANULAR A/B control path)."""
+        if n_fields == 1:
+            tok = B.tokenize_postings(
+                with_ids.select("doc_id", F.col(text_cols[0]).alias("text")),
                 emit_doc_positions=emit_dp,
             )
-            for fid, c in enumerate(text_cols, start=1)
-        ]
-        tokenized = reduce(DataFrame.unionByName, parts)
-    tokenized = tokenized.withColumn(
-        "bucket",
-        F.when(F.col("term") == B.DP_TERM, F.lit(n_buckets)).otherwise(
-            term_bucket(F.col("term"), n_buckets)
-        ),
-    )
+        else:
+            parts = [
+                B.tokenize_postings(
+                    with_ids.select("doc_id", F.col(c).alias("text")),
+                    field_id=fid,
+                    emit_doc_positions=emit_dp,
+                )
+                for fid, c in enumerate(text_cols, start=1)
+            ]
+            tok = reduce(DataFrame.unionByName, parts)
+        return tok.withColumn(
+            "bucket",
+            F.when(F.col("term") == B.DP_TERM, F.lit(n_buckets)).otherwise(
+                term_bucket(F.col("term"), n_buckets)
+            ),
+        )
+
     dict_path = os.path.join(seg_path, "dictionary")
 
     if mode in BLOCK_MODES:
@@ -443,13 +448,35 @@ def build_index(
         #   df = Σ n_docs  (blocks never split a (doc, field) row and
         #        doc_grp ranges are disjoint — exact for single-field),
         #   cf = Σ n_occ, dl = sentinel n_occ / 2.
+        # Default path: PACKED RUNS — one shuffle row per (map batch,
+        # term, doc group) instead of one per posting, because the
+        # per-row JVM↔Arrow conversion, not the codec, dominated the
+        # row-granular build (operators/build.py packed-run notes).
+        # Both paths share the block-chunking kernel, so the committed
+        # bytes are identical (golden-tested).
         _phase_t = {"ids": time.time() - t0}
-        B.build_blocks(
-            tokenized,
-            codec=mode,
-            bucketed=True,
-            strip_dp_payload=not keep_positions,
-        ).write.mode("overwrite").partitionBy("bucket").parquet(
+        if os.environ.get("FTS_BUILD_ROW_GRANULAR"):
+            blocks_df = B.build_blocks(
+                _tokenized_rows(),
+                codec=mode,
+                bucketed=True,
+                strip_dp_payload=not keep_positions,
+            )
+        else:
+            run_parts = [
+                B.tokenize_packed_runs(
+                    with_ids.select("doc_id", F.col(c).alias("text")),
+                    field_id=fid,
+                )
+                for fid, c in enumerate(text_cols, start=1)
+            ]
+            blocks_df = B.assemble_packed_blocks(
+                reduce(DataFrame.unionByName, run_parts),
+                codec=mode,
+                n_buckets=n_buckets,
+                strip_dp_payload=not keep_positions,
+            )
+        blocks_df.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(seg_path, "blocks")
         )
         _phase_t["blocks_write"] = time.time() - t0 - _phase_t["ids"]
@@ -487,7 +514,7 @@ def build_index(
         # dl rides packed in tfdl for block impact bounds; the arrays
         # layout has no blocks, so restore the plain tf column (and the
         # committed POSTING_SCHEMA) before the write.
-        _sorted_bucketed(B.unpack_tf(tokenized), "doc_id").write.mode(
+        _sorted_bucketed(B.unpack_tf(_tokenized_rows()), "doc_id").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(os.path.join(seg_path, "postings"))
         staged = spark.read.parquet(os.path.join(seg_path, "postings"))
