@@ -309,16 +309,6 @@ def conj_doc_filter(index, terms: list[str]) -> DataFrame | None:
     )
 
 
-# Cost gate for the hot-hot AND exchange-reuse plan: below this many
-# total posting rows across legs (driver block metadata, Σ n_docs —
-# one decoded row per (doc, field) posting), one doc_id exchange per
-# leg (decode once, shuffle once) beats decoding every leg twice. Past
-# it — true stop words on a web-scale corpus — shuffling the decoded
-# posting rows would dominate, and the shuffle-free broadcast plan
-# with a recomputed decode is the plan you want on a cluster.
-AND_REUSE_MAX_ROWS = 50_000_000
-
-
 def _exact_terms_of(node: AstQuery) -> list[str] | None:
     """The node's exact term multiset when its match stream is exactly
     the union of known exact terms' posting occurrences: WORD, or OR
@@ -361,22 +351,6 @@ def _conj_child_rows(index, node: AstQuery, kw: dict) -> DataFrame | None:
             return None
         return reduce(DataFrame.unionAll, parts)
     return None
-
-
-def _and_reuse_pays(index, terms_by_arg: list[list[str] | None]) -> bool:
-    if not terms_by_arg or any(ts is None for ts in terms_by_arg):
-        return False  # a child without an exact term list: no metadata
-    flat = sorted({t for ts in terms_by_arg for t in ts})
-    if not flat:
-        return False
-    meta_fn = getattr(index, "local_block_meta", None)
-    meta = meta_fn(flat) if meta_fn is not None else None
-    if meta is None:
-        return False
-    import numpy as np
-
-    total = int(np.sum(meta.column("n_docs").to_numpy()))
-    return total <= AND_REUSE_MAX_ROWS
 
 
 def _phrase(index, terms: list[str]) -> DataFrame:
@@ -494,15 +468,17 @@ def plan_node(index, node: AstQuery) -> DataFrame:
             )
             if kw is None:
                 return _empty(index)  # a direct WORD term is absent
-            # children stay UN-exploded: posting rows (one row per
-            # (doc, field), positions as an array) for terminals AND
-            # for OR-of-terminal children (_conj_child_rows — VERDICT
-            # r5 #1 extended the r4 terminal fix one level up); only
-            # positional children (SEQ) stay exploded match streams.
-            # Doc qualification and the semi-join run on these rows;
-            # posting rows explode to occurrence rows ONLY AFTER the
-            # join, so the explode processes |matching postings|, not
-            # |all postings|.
+            # ONE relation per leg with exactly one row per doc, inner-
+            # joined on doc_id, occurrences emitted by a single explode
+            # ABOVE the join. The r5 plan derived a distinct doc set per
+            # leg and semi-joined each leg's rows against the
+            # intersection — but column pruning gives the doc-set branch
+            # a NARROWER exchange than the match branch, so no exchange
+            # is ever reused and every leg was scanned+decoded three
+            # times (plans/r06/q_and_before.txt: six Scan+MapInArrow
+            # subtrees for a two-leg AND). Here each leg has exactly one
+            # consumer: decode once, shuffle once (the join exchange),
+            # qualify by the inner join, explode last.
             rows, is_posting = [], []
             for a in node.args:
                 p = _conj_child_rows(index, a, kw)
@@ -512,46 +488,108 @@ def plan_node(index, node: AstQuery) -> DataFrame:
                     continue
                 rows.append(p.select("doc_id", "field_id", "positions"))
                 is_posting.append(True)
-            # rare leg's doc ids driver-resident: semi-join every leg's
-            # rows against them up front (broadcast) — the doc-set
-            # distinct and the final explode then run over ~|rare docs|
-            # instead of the hot legs' full posting sets
+            # rare leg's doc ids driver-resident: broadcast-semi-join
+            # every leg's rows against them up front — the join
+            # exchanges then carry ~|rare docs| rows per leg instead of
+            # the hot legs' full posting sets
             doc_filter = (
                 conj_doc_filter(index, word_terms) if word_terms else None
             )
             if doc_filter is not None:
-                # repartition AFTER the rare-doc semi-join: each leg's
-                # two consumers (doc-set distinct + the match part)
-                # hang off the same exchange, so ReuseExchange runs the
-                # scan+decode ONCE per leg, and the shuffle it pays for
-                # is bounded by the rare leg's cardinality. Everything
-                # downstream (distinct, qualifying join, semi-join) is
-                # then co-partitioned on doc_id — no further exchanges.
                 rows = [
                     r.join(F.broadcast(doc_filter), "doc_id", "left_semi")
-                    .repartition("doc_id")
                     for r in rows
                 ]
-            elif _and_reuse_pays(
-                index, [_exact_terms_of(a) for a in node.args]
+            n_fields = (getattr(index, "manifest", None) or {}).get(
+                "type", {}
+            ).get("n_fields", 1)
+            per_doc, occ_kind = [], []
+            for i, (r, posting, a) in enumerate(
+                zip(rows, is_posting, node.args)
             ):
-                # no rare-doc filter (hot-hot conjunction): both
-                # consumers still re-decode each leg. When the legs'
-                # total decoded size (driver block metadata, Σ n_occ)
-                # is modest, one exchange per leg (AQE ReusedQueryStage
-                # → single decode) beats the double decode; a true
-                # stop-word leg at web scale keeps the shuffle-free
-                # broadcast/recompute plan instead.
-                rows = [r.repartition("doc_id") for r in rows]
-            doc_sets = [r.select("doc_id").distinct() for r in rows]
-            qualifying = reduce(lambda a, b: a.join(b, "doc_id"), doc_sets)
-            parts = [
-                _occ_rows(r.join(qualifying, "doc_id", "left_semi"))
-                if posting
-                else r.join(qualifying, "doc_id", "left_semi")
-                for r, posting in zip(rows, is_posting)
-            ]
-            return reduce(DataFrame.unionAll, parts)
+                if posting and isinstance(a, WordAst) and n_fields == 1:
+                    # single-field WORD leg: posting rows are already
+                    # one per doc — no aggregation needed at all
+                    per_doc.append(
+                        r.select(
+                            "doc_id",
+                            F.struct("field_id", "positions").alias(
+                                f"_r{i}"
+                            ),
+                        )
+                    )
+                    occ_kind.append("row")
+                else:
+                    # legs with possibly >1 row per doc (multi-field,
+                    # OR children, expansions, match streams) collapse
+                    # to one row per doc so the join multiplies nothing
+                    per_doc.append(
+                        r.groupBy("doc_id").agg(
+                            F.collect_list(
+                                F.struct("field_id", "positions")
+                            ).alias(f"_r{i}")
+                        )
+                    )
+                    occ_kind.append("rows" if posting else "stream")
+            # join rarest-first so intermediate results shrink
+            # immediately (same reason the reference's leapfrog drives
+            # from the shortest posting list); unknown-size legs last
+            df_map = (
+                term_dfs(index, word_terms + or_terms)
+                if word_terms or or_terms
+                else {}
+            )
+
+            def leg_size(i: int) -> tuple:
+                ts = _exact_terms_of(node.args[i])
+                if ts is None or any(df_map.get(t) is None for t in ts):
+                    return (float("inf"), i)
+                return (sum(df_map[t] for t in ts), i)
+
+            order = sorted(range(len(per_doc)), key=leg_size)
+            joined = per_doc[order[0]]
+            for i in order[1:]:
+                joined = joined.join(per_doc[i], "doc_id")
+
+            def occ_array(i: int):
+                c = F.col(f"_r{i}")
+                if occ_kind[i] == "row":
+                    # one posting row: one struct per position
+                    return F.transform(
+                        c["positions"],
+                        lambda p: F.struct(
+                            c["field_id"].alias("field_id"),
+                            F.array(p).alias("positions"),
+                        ),
+                    )
+                if occ_kind[i] == "rows":
+                    # list of posting rows: explode each row's positions
+                    return F.flatten(
+                        F.transform(
+                            c,
+                            lambda row: F.transform(
+                                row["positions"],
+                                lambda p: F.struct(
+                                    row["field_id"].alias("field_id"),
+                                    F.array(p).alias("positions"),
+                                ),
+                            ),
+                        )
+                    )
+                return c  # stream: match rows pass through as-is
+
+            occs = (
+                occ_array(0)
+                if len(per_doc) == 1
+                else F.concat(*[occ_array(i) for i in range(len(per_doc))])
+            )
+            return joined.select(
+                "doc_id", F.explode(occs).alias("_occ")
+            ).select(
+                "doc_id",
+                F.col("_occ.field_id").alias("field_id"),
+                F.col("_occ.positions").alias("positions"),
+            )
         raise ValueError(f"unknown operator {node.name}")
     raise TypeError(f"unknown AST node {node!r}")
 

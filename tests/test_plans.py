@@ -53,10 +53,26 @@ def test_bm25_broadcasts_dictionary(spark, pms_index_roots):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_and_uses_semi_join(spark, pms_index_roots):
+def test_and_explodes_once_above_the_join(spark, pms_index_roots):
+    """AND plans one relation per leg (one row per doc), inner-joins on
+    doc_id, and emits occurrences through a SINGLE explode ABOVE the
+    join — no leg's occurrence set explodes before doc qualification,
+    including OR-of-WORDs children (VERDICT r5 #1: a left-semi join
+    does not push through a generator, so the old per-leg explode +
+    semi-join plan paid both hot terms' full explode first)."""
     idx = Index.open(spark, pms_index_roots["arrays"])
-    plan = _optimized(idx.search("AND(WORD(this),WORD(test))"))
-    assert "LeftSemi" in plan
+    for q in (
+        "AND(WORD(this),WORD(test))",
+        "AND(WORD(this),OR(WORD(is),WORD(test)))",
+    ):
+        plan = _optimized(idx.search(q))
+        assert "Join Inner" in plan, plan
+        # exactly one Generate, and it sits ABOVE the join (optimized-
+        # plan trees print top-down, so the explode line comes first)
+        gens = [i for i, ln in enumerate(plan.splitlines()) if "Generate" in ln]
+        joins = [i for i, ln in enumerate(plan.splitlines()) if "Join Inner" in ln]
+        assert len(gens) == 1, plan
+        assert gens[0] < joins[0], plan
 
 
 def test_topk_is_take_ordered_not_global_sort(spark, pms_index_roots):
