@@ -50,6 +50,26 @@ def _tfn_col(tf_col, avgdl: float):
     )
 
 
+def _unique_term_doc_rows(index) -> bool:
+    """True when posting rows are provably unique per (term, doc):
+    single-field index, and (blocks modes) blocks never split a doc —
+    the block_impacts manifest flag marks builds with that invariant.
+    Then groupBy(term, doc).sum(tf) is the identity and its exchange
+    can be elided from every scorer (guide §2.4: remove shuffles that
+    re-derive an invariant the data already has)."""
+    manifest = getattr(index, "manifest", None)
+    if manifest is None:
+        return False  # unknown layout (memory handles): keep the agg
+    t = manifest["type"]
+    if t.get("n_fields", 1) != 1:
+        return False
+    from fulltextsearch_spark.sources.index_io import BLOCK_MODES
+
+    if index.mode in BLOCK_MODES and not t.get("block_impacts"):
+        return False  # legacy blocks may split a doc across blocks
+    return True
+
+
 def _leaf_scores(
     index, node, n_docs: int, avgdl: float, postings_kwargs=None,
     doc_filter: DataFrame | None = None,
@@ -72,8 +92,18 @@ def _leaf_scores(
         postings = postings.join(
             F.broadcast(doc_filter), "doc_id", "left_semi"
         )
-    # doc-level tf per term (sum over fields), then join stats
-    doc_tf = postings.groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))
+    unique_rows = _unique_term_doc_rows(index)
+    # doc-level tf per term (sum over fields), then join stats; on a
+    # single-field index rows are already (term, doc)-unique, so the
+    # aggregation (and its exchange) is an identity — skip it
+    if unique_rows:
+        doc_tf = postings.select(
+            "term", "doc_id", F.col("tf").cast("long").alias("tf")
+        )
+    else:
+        doc_tf = postings.groupBy("term", "doc_id").agg(
+            F.sum("tf").alias("tf")
+        )
     dictionary = index.dictionary()
     scored = (
         doc_tf.join(F.broadcast(dictionary), "term")
@@ -83,24 +113,35 @@ def _leaf_scores(
             (_idf_col(n_docs) * _tfn_col(F.col("tf"), avgdl)).alias("s"),
         )
     )
+    if unique_rows and isinstance(node, WordAst):
+        # one term, one row per doc: the per-doc sum is an identity too
+        return scored.select("doc_id", F.col("s").alias("score"))
     return scored.groupBy("doc_id").agg(F.sum("s").alias("score"))
 
 
 def _phrase_scores(index, node: FuncAst, n_docs: int, avgdl: float) -> DataFrame:
-    """Phrase BM25 as ONE lazy plan: df_phrase is a broadcast 1-row
-    aggregate over the same doc_tf subplan, so Spark's ReusedExchange
-    executes the phrase join once (no separate `.count()` action, no
-    double execution). Zero matches → empty doc_tf → empty result, no
-    special case."""
+    """Phrase BM25 as ONE execution of the phrase join: df_phrase (the
+    count of docs with ≥1 phrase match) rides as a GLOBAL WINDOW count
+    over the per-doc tf rows. The previous shape — a broadcast 1-row
+    aggregate over "the same" doc_tf subplan — was never actually
+    reused: the aggregate branch prunes columns differently, so the
+    whole phrase join (two decodes + the position join) planned and
+    EXECUTED twice (plans/r06/q_bm25_seq_before.txt shows both
+    subtrees). The window moves the ~one-row-per-matching-doc (doc_id,
+    tf) relation to one partition for the count — trivial next to a
+    second phrase execution at any scale. Zero matches → empty doc_tf
+    → empty result, no special case."""
+    from pyspark.sql import Window
+
     matches = plan_node(index, node)  # (doc_id, field_id, positions)
     doc_tf = matches.groupBy("doc_id").agg(F.count("*").alias("tf"))
-    dfp = doc_tf.agg(F.count("*").cast("double").alias("dfp"))
+    dfp = F.count("*").over(Window.partitionBy()).cast("double")
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("dfp") + F.lit(0.5)) / (F.col("dfp") + F.lit(0.5))
     )
     return (
-        doc_tf.crossJoin(F.broadcast(dfp))
+        doc_tf.withColumn("dfp", dfp)
         .join(index.doc_stats(), "doc_id")
         .select("doc_id", (idf * _tfn_col(F.col("tf"), avgdl)).alias("score"))
     )
@@ -302,25 +343,40 @@ def rank_query_exhaustive(index, query: str, k: int = 10) -> DataFrame:
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def _wand_exact_scores(index, dictionary, n_docs, avgdl, bdf) -> DataFrame:
+def _wand_exact_scores(
+    index, dictionary, n_docs, avgdl, bdf, single_term: bool = False
+) -> DataFrame:
     """Decode block rows → exact per-doc BM25 scores (shared by the
-    seed and final passes of both WAND control planes)."""
+    seed and final passes of both WAND control planes). On single-field
+    indexes the (term, doc) aggregation is an identity (decoded rows
+    are unique — blocks never split a doc) and, for a single-term
+    query, so is the per-doc sum: both exchanges elide, leaving a
+    completely shuffle-free score plan."""
     from fulltextsearch_spark.operators.build import decode_blocks
 
     postings = decode_blocks(
         bdf.select("term", "payload"), codec=getattr(index, "mode", "blocks")
     )
-    doc_tf = postings.groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))
-    return (
+    unique_rows = _unique_term_doc_rows(index)
+    if unique_rows:
+        doc_tf = postings.select(
+            "term", "doc_id", F.col("tf").cast("long").alias("tf")
+        )
+    else:
+        doc_tf = postings.groupBy("term", "doc_id").agg(
+            F.sum("tf").alias("tf")
+        )
+    scored = (
         doc_tf.join(F.broadcast(dictionary), "term")
         .join(index.doc_stats(), "doc_id")
         .select(
             "doc_id",
             (_idf_col(n_docs) * _tfn_col(F.col("tf"), avgdl)).alias("s"),
         )
-        .groupBy("doc_id")
-        .agg(F.sum("s").alias("score"))
     )
+    if unique_rows and single_term:
+        return scored.select("doc_id", F.col("s").alias("score"))
+    return scored.groupBy("doc_id").agg(F.sum("s").alias("score"))
 
 
 def _rank_wand_driver_cp(
@@ -392,7 +448,10 @@ def _rank_wand_driver_cp(
     blocks = index.blocks(exact_terms=terms)
 
     def exact_scores(bdf) -> DataFrame:
-        return _wand_exact_scores(index, dictionary, n_docs, avgdl, bdf)
+        return _wand_exact_scores(
+            index, dictionary, n_docs, avgdl, bdf,
+            single_term=len(uterms) == 1,
+        )
 
     def finish(bdf, route: str, n_seeded: int, n_decoded: int) -> DataFrame:
         if stats is not None:
@@ -619,7 +678,8 @@ def rank_terms_wand(
 
         def exact_scores(bdf) -> DataFrame:
             return _wand_exact_scores(
-                index, dictionary, n_docs, avgdl, bdf.select(*block_cols)
+                index, dictionary, n_docs, avgdl, bdf.select(*block_cols),
+                single_term=len(set(terms)) == 1,
             )
 
         def finish(bdf, route: str, n_seeded: int, n_decoded: int) -> DataFrame:

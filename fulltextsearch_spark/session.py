@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.files.openCostInBytes", "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite sort-merge joins to shuffled-hash at runtime
+        # when the REAL per-partition build side is small (phrase/AND
+        # legs join decoded posting rows whose plan-time size estimates
+        # are useless behind mapInArrow) — skips sorting array rows.
+        # Size-gated per partition, so it stays safe at cluster scale:
+        # an oversized partition simply keeps sort-merge.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "128m",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
