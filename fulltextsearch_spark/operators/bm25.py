@@ -26,6 +26,7 @@ score bound per block for WAND-style pruning — see `wand_candidates`.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -273,6 +274,25 @@ WAND_MAX_SURVIVOR_FRAC = 0.5
 # stay well below this gate either way.
 WAND_THETA_EST_FRAC = 0.8
 
+# Seed round-trip pricing (VERDICT r5 #2): Gate A used to compare the
+# candidate count to the seed budget only, but the WAND route pays a
+# whole extra job (seed decode + collect + schedule) that the one-job
+# exhaustive decode does not. Priced in block-decode units so the gates
+# stay metadata-only: even a PERFECT prune (surviving ≈ the seed set)
+# saves at most candidates − 2·seed-budget decodes, so WAND routes only
+# when that best case exceeds this overhead; Gate P (multi-term)
+# additionally requires the PREDICTED saving at θ_est — candidates −
+# predicted survivors − the seed decode itself — to clear it. Local[32]
+# default ≈ the measured per-job fixed cost (~0.3 s) over the measured
+# per-block decode cost (~3.5 ms: q_bm25_or skipped ~250 blocks for a
+# 0.9 s win). On a real cluster per-block wall cost shrinks with
+# executor count while job submit latency does not, so production
+# deployments should RAISE it (env FTS_WAND_OVERHEAD_BLOCKS); the gate
+# only picks between two exact routes, so any value is rank-safe.
+WAND_ROUNDTRIP_OVERHEAD_BLOCKS = int(
+    os.environ.get("FTS_WAND_OVERHEAD_BLOCKS", "64")
+)
+
 
 def _id_span(index, n_docs: int) -> int:
     """Doc-id upper bound + 1 for the alignment grid — the manifest's
@@ -482,10 +502,20 @@ def _rank_wand_driver_cp(
         )
 
     n_seed = max(k, WAND_SEED_BLOCKS)
-    if gates and nblocks <= 2 * n_seed:
+    # Gate A with the seed round-trip priced in: a WAND route decodes
+    # ≥ n_seed blocks seeding and ≥ ~n_seed surviving, so its best-case
+    # saving is nblocks − 2·n_seed decodes — worth a second job only
+    # when that clears the job's fixed cost (VERDICT r5 #2).
+    if gates and nblocks <= 2 * n_seed + WAND_ROUNDTRIP_OVERHEAD_BLOCKS:
         return finish(blocks, "exhaustive_small", 0, nblocks)
     others_ub = None
     if len(uterms) == 1:
+        # No single-term Gate P: a term's per-block ubs sit in a ~1%
+        # band (bench t0: median/max = 0.99), so no metadata θ estimate
+        # can resolve where the true θ lands inside it — 0.8·max
+        # predicts 100% survivors where the measured prune skips 74%.
+        # Gate A prices the seed round-trip instead, and Gate B still
+        # catches a θ that failed to prune after the (cheap) seed pass.
         seed_blocks = np.argsort(-ub, kind="stable")[:n_seed]
     else:
         # doc-range-grid residuals, dense numpy twin of the Spark
@@ -511,7 +541,11 @@ def _rank_wand_driver_cp(
         if gates:  # Gate P — zero jobs, zero decode
             theta_est = tot.max() * WAND_THETA_EST_FRAC
             n_floor = int((ub + others_ub >= theta_est).sum())
-            if n_floor > WAND_MAX_SURVIVOR_FRAC * nblocks:
+            if (
+                n_floor > WAND_MAX_SURVIVOR_FRAC * nblocks
+                or nblocks - n_floor
+                <= n_seed + WAND_ROUNDTRIP_OVERHEAD_BLOCKS
+            ):
                 return finish(blocks, "exhaustive_unprunable", 0, nblocks)
         nb = np.zeros(ncells, dtype=np.int64)
         np.add.at(nb, inc_cell, 1)
@@ -698,9 +732,11 @@ def rank_terms_wand(
         # Gate A: candidate set at/below ~2 seed budgets — the seed
         # phase would decode a comparable share anyway; one decode job
         # beats seed + θ + prune round-trips (the 3-block skew case).
-        # ``gates=False`` (tests) exercises the pruning machinery on
-        # fixture-sized corpora the gates would route around.
-        if gates and n_total <= 2 * n_seed:
+        # The seed round-trip's fixed job cost is priced in block units
+        # on top (VERDICT r5 #2). ``gates=False`` (tests) exercises the
+        # pruning machinery on fixture-sized corpora the gates would
+        # route around.
+        if gates and n_total <= 2 * n_seed + WAND_ROUNDTRIP_OVERHEAD_BLOCKS:
             return finish(blocks, "exhaustive_small", 0, n_total)
         cells = gub = tot = others = None
         seeded_n = n_seed
@@ -762,7 +798,11 @@ def rank_terms_wand(
                     )
                     .count()
                 )
-                if n_floor > WAND_MAX_SURVIVOR_FRAC * n_total:
+                if (
+                    n_floor > WAND_MAX_SURVIVOR_FRAC * n_total
+                    or n_total - n_floor
+                    <= n_seed + WAND_ROUNDTRIP_OVERHEAD_BLOCKS
+                ):
                     return finish(blocks, "exhaustive_unprunable", 0, n_total)
             # SEED BY CELLS, not by blocks: decode every term's blocks
             # touching the top cells by combined bound, so each doc in

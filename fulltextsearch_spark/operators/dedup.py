@@ -9,11 +9,13 @@ Scale shape:
 - exact: one shuffle on the 128-bit content hash.
 - minhash LSH: narrow shingle→signature (pandas UDF / built-ins),
   explode to (band, band_hash) keys, shuffle once on band buckets —
-  candidate pairs only within buckets (no all-pairs join).
-- ngram jaccard: shingle explode + self-equi-join on shingle; hot
-  shingles are the skew risk — AQE skew-join handles moderate skew, and
-  `max_shingle_df` drops degenerate shingles (stopword runs) the way
-  production near-dup pipelines do.
+  candidate pairs generated inside each bucket (no all-pairs join, no
+  duplicated upstream pass).
+- ngram jaccard: one shingle-bucket pass (ids per shingle), pairs and
+  sizes both derived from the materialized buckets; hot shingles are
+  the skew risk — `max_shingle_df` drops degenerate shingles (stopword
+  runs) the way production near-dup pipelines do, which also bounds the
+  per-bucket pair arrays.
 """
 
 from __future__ import annotations
@@ -72,6 +74,26 @@ def doc_shingles(docs: DataFrame, tokens_col: str = "tokens", n: int = 3) -> Dat
     )
 
 
+def _bucket_pairs(ids_col) -> F.Column:
+    """All i<j (doc_a, doc_b) struct pairs from a SORTED id array —
+    in-bucket pair generation shared by the LSH and Jaccard shapes.
+    Replaces the textbook self-equi-join whose alias branches Spark
+    never recognizes as a reusable exchange, so every upstream pass ran
+    once per branch (guide §2.4). Pair OUTPUT is O(bucket²) in both
+    formulations; this one materializes the bucket's pair array
+    per row first, which the callers bound via their bucket-size caps
+    (band width / max_shingle_df)."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + F.lit(2), F.size(ids_col)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs_tokens: DataFrame,
     n: int = 3,
@@ -80,27 +102,41 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Doc pairs with n-gram-shingle Jaccard ≥ threshold.
 
-    Input: (doc_id, tokens array<string>). Self-equi-join on shingle →
-    pair intersection counts; union sizes from per-doc shingle counts.
+    Input: (doc_id, tokens array<string>). ONE tokenize→shingle pass
+    buckets each shingle's (per-doc-distinct) doc ids; the skew guard
+    drops degenerate buckets by size — identical semantics to the old
+    df-count anti-join. ``localCheckpoint`` materializes the narrow
+    (shingle, ids) table once for its three consumers (pair
+    intersection counts + both size joins); the previous self-join
+    shape re-ran the whole tokenize→shingle pipeline FIVE times (join
+    sides a and b, the df-guard aggregate, and the sizes subtree twice)
+    because Spark does not reuse exchanges across alias branches
+    (guide §2.4; same finding as the LSH shape, 0 ReusedExchange).
+    Intersection counts per pair come from exploding each bucket's i<j
+    combinations — count(shared shingles) exactly as the equi-join
+    produced. At production scale the checkpoint trades one
+    materialization of the id-only bucket table for four recomputations
+    of the full text pipeline.
     """
     sh = doc_shingles(docs_tokens, "tokens", n)
-    # drop degenerate ultra-common shingles (skew guard)
-    sh_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-    sh = sh.join(
-        F.broadcast(sh_df.where(F.col("sdf") > max_shingle_df)),
-        "shingle",
-        "left_anti",
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") <= max_shingle_df)
+        .localCheckpoint()
     )
-    # sizes from the FILTERED shingle set: jaccard is then exact over
-    # the retained shingle space (denominator matches the intersection)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # sizes from the FILTERED shingle space: jaccard is then exact over
+    # the retained shingles (denominator matches the intersection)
+    sizes = (
+        buckets.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        buckets.where(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count("*").alias("n_inter"))
     )
@@ -153,10 +189,24 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame, n_bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signatures, bucket-join: pairs sharing ≥1 full band.
+    """Band the signatures, bucket-group: pairs sharing ≥1 full band.
 
     The classic MinHash-LSH shuffle shape: explode to n_bands rows,
     group by (band, band_signature) — never an all-pairs comparison.
+
+    Pairs are generated INSIDE each bucket (collect the bucket's sorted
+    doc ids, emit the i<j combinations with array transforms) instead
+    of the textbook self-equi-join on (band, key): the join's two
+    branches are alias-only copies Spark does not recognize as a
+    reusable exchange (guide §2.4 — verified: 0 ReusedExchange, the
+    whole tokenize→shingle→minhash subtree and its shuffle executed
+    TWICE), so the group-by form halves the upstream work and drops a
+    shuffle+broadcast. Output is the identical distinct pair set: a doc
+    appears once per (band, bucket), and sorting ids keeps doc_a <
+    doc_b. Per-bucket memory is O(bucket size) while the pair OUTPUT is
+    O(bucket²) in both formulations — a degenerate bucket (every doc
+    sharing a band signature) was already quadratic in the join shape;
+    band width (rows_per_band) is the knob that bounds bucket sizes.
     """
     bands = signatures.select(
         "doc_id",
@@ -178,14 +228,14 @@ def lsh_candidate_pairs(
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        a.join(b, ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -316,17 +366,38 @@ def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    pairs = (
-        a.join(b, ["chunk", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+    # in-bucket pair generation (same rationale as lsh_candidate_pairs:
+    # the alias self-join re-ran the whole upstream — typically
+    # simhash60's tokenize + 60-vote aggregate — once per side); a doc
+    # appears once per (chunk, key) so sorting the structs by doc_id
+    # keeps doc_a < doc_b
+    buckets = (
+        chunks.groupBy("chunk", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ms")
         )
+        .where(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["simhash"].alias("ha"),
+                    y["simhash"].alias("hb"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
         .distinct()
     )
     return pairs.withColumn(

@@ -196,11 +196,23 @@ def embedding_near_dup_pairs(
     ).select(
         "_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
+    # in-bucket pair generation (see dedup._bucket_pairs): the alias
+    # self-join re-ran the banded-signature subtree — n_bands·
+    # band_planes hyperplane dot products PER VECTOR — once per join
+    # side, because Spark does not reuse exchanges across alias
+    # branches. Grouping each (band, sig) bucket's sorted ids and
+    # emitting the i<j combinations computes the signatures once and
+    # drops a shuffle; the pair set is identical.
+    from fulltextsearch_spark.operators.dedup import _bucket_pairs
+
     cand = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), ["band", "sig"])
-        .where(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        keyed.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("id_a"), F.col("p.doc_b").alias("id_b")
+        )
         .distinct()  # a pair may collide in several bands — ids only,
         # so the dedup shuffle never carries vectors
     )

@@ -200,8 +200,17 @@ def test_wand_gate_unprunable_pair(spark, tmp_path, monkeypatch):
     root = str(tmp_path / "wand_unprunable")
     build_index(spark, pages, root, mode="blocks")
     idx = Index.open(spark, root)
-    # shrink the seed budget so Gate A passes at fixture block counts
+    # Gate A's seed round-trip pricing (VERDICT r5 #2): with the seed
+    # budget shrunk the candidate set clears the old 2x-seed cutoff,
+    # but its best-case decode saving cannot cover the extra job's
+    # fixed cost — Gate A must route it to the one-job decode
     monkeypatch.setattr(bm25, "WAND_SEED_BLOCKS", 2)
+    stats0: dict = {}
+    rank_terms_wand(idx, ["ha", "hb"], 3, stats=stats0).collect()
+    assert stats0["n_blocks"] > 2 * 2  # the pre-pricing cutoff passes
+    assert stats0["route"] == "exhaustive_small", stats0
+    # zero the pricing term so Gate P is what routes below
+    monkeypatch.setattr(bm25, "WAND_ROUNDTRIP_OVERHEAD_BLOCKS", 0)
     stats: dict = {}
     top = [
         (r["doc_id"], round(r["score"], 9))
