@@ -325,7 +325,18 @@ def simhash60(docs_tokens: DataFrame) -> DataFrame:
     bit-for-bit), explode, for each bit position sum +tf/-tf, sign →
     bit. The 60 bit-sums are one aggregation (no per-row Python).
     """
-    tok = docs_tokens.select("doc_id", F.explode("tokens").alias("t"))
+    # explode_outer + null filter instead of plain explode: the
+    # optimizer infers `size(tokens) > 0 AND isnotnull(tokens)` from a
+    # non-outer Generate and pushes it below, which re-evaluates the
+    # caller's tokenize UDF — once under the pushed filter, once above
+    # for the explode input (guide §4.4; verified: two ArrowEvalPython
+    # nodes over the same text column). The outer form infers no such
+    # filter, so the UDF runs ONCE; the tokenizer's array type has
+    # containsNull=False, so null `t` rows come only from empty/null
+    # token arrays — exactly the rows plain explode dropped.
+    tok = docs_tokens.select(
+        "doc_id", F.explode_outer("tokens").alias("t")
+    ).where(F.col("t").isNotNull())
     tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     h = tf.withColumn("h", shingle_hash60(F.col("t")))
     votes = [
